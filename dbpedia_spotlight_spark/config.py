@@ -1,0 +1,50 @@
+"""Pipeline parameters.
+
+Mirrors the reference's knobs: REST params (confidence, support, types,
+policy — rest/.../resources/Annotate.java:57-66), disambiguator constants
+(MAX_CANDIDATES=10, MAX_CONTEXT=200 — db/DBTwoStepDisambiguator.scala:43,46),
+smoothing lambda=0.2 (db/similarity/GenerativeContextSimilarity.scala:27),
+fuzzy top-5 (db/DBCandidateSearcher.scala:19).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineParams:
+    # --- spotting ---
+    case_sensitive: bool = False
+    overlap: bool = False          # AhoCorasickSpotter overlap flag
+    min_sf_length: int = 3         # ShortSurfaceFormSelector.scala:10-12
+
+    # --- candidate generation ---
+    max_candidates: int = 10       # DBTwoStepDisambiguator.scala:43
+    fuzzy_top_n: int = 5           # DBCandidateSearcher.scala:19 ADD_TOP_NORMALIZED_SFS
+
+    # --- context scoring ---
+    smoothing_lambda: float = 0.2  # GenerativeContextSimilarity.scala:27
+    max_context: int = 200         # DBTwoStepDisambiguator.scala:46
+
+    # --- result filters (REST-facing knobs) ---
+    confidence: float = 0.0
+    support: int = 0
+    best_k: int = 20
+    type_whitelist: tuple[str, ...] = ()
+    type_blacklist: tuple[str, ...] = ()
+    uri_whitelist: tuple[str, ...] = ()   # SPARQL-filter stand-in (URI list param)
+    drop_list_of_pages: bool = True       # AnnotationFilter.scala:140-143
+    coreference_resolution: bool = True
+
+    # --- blocking / pairing ---
+    pair_score_threshold: float = 0.5
+    salt_block_cap: int = 1024     # max mentions per (block, salt) task unit
+
+    # --- execution ---
+    shuffle_partitions: int = 32
+    checkpoint_dir: str = ""       # empty = no checkpointing
+    n_salts_max: int = 64
+
+
+DEFAULT_PARAMS = PipelineParams()
