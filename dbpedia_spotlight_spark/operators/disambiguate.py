@@ -1,0 +1,120 @@
+"""Mixture scoring, NIL gate, ranking, softmax normalization.
+
+Spark recast of db/DBTwoStepDisambiguator.scala:132-204 with
+UnweightedMixture(P(e), P(c|e), P(s|e))
+(disambiguate/mixtures/UnweightedMixture.scala:12-17, wired at
+db/SpotlightModel.scala:120-128):
+
+    score(m, e)  = ln P(s|e) + P(c|e) + ln P(e)
+                 = ln(cand_prior) + ctx_score + ln(res_prior)   (:170-174)
+    nil(m)       = nil_ctx + ln(1 / totalAnnotatedCount)        (:135-151)
+    keep         : score > nil, score not NaN                   (:183)
+    rank         : desc score; ties (uri, cand_sf) asc — the reference's
+                   Set order is unspecified, this makes it deterministic
+    pctSecond    : exp(score_{i+1} − score_i) via lead()        (:188-192)
+    softmax      : exp(score − logsumexp(scores ∪ {nil}))       (:194-201)
+
+All window functions partition by mention_key — no global sort.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_PARAMS, PipelineParams
+from ..plans.model_build import ModelTables
+
+
+def disambiguate(
+    mention_candidates: DataFrame,
+    ctx_scores: DataFrame,
+    nil_scores: DataFrame,
+    model: ModelTables,
+    params: PipelineParams = DEFAULT_PARAMS,
+) -> DataFrame:
+    """-> scored candidate rows with rank; rank 1 is the resolved link.
+
+    Output columns: mention_key, doc_id, begin, end, sf, uri, res_id,
+    support, types?, score (softmax-normalized), ctx_score (normalized),
+    pct_second_rank, rank.
+    """
+    ln_nil_pe = math.log(1.0 / model.total_annotated_count)
+
+    scored = (
+        mention_candidates.join(ctx_scores, ["doc_id", "res_id"], "left")
+        .join(nil_scores, "doc_id", "left")
+        .withColumn(
+            "raw_score",
+            F.log("cand_prior") + F.col("ctx_score") + F.log("res_prior"),
+        )
+        .withColumn(
+            "nil_score", F.col("nil_ctx_score") + F.lit(ln_nil_pe)
+        )
+    )
+
+    # NIL gate (DBTwoStepDisambiguator.scala:183)
+    kept = scored.filter(
+        F.col("raw_score").isNotNull()
+        & ~F.isnan("raw_score")
+        & (F.col("raw_score") > F.col("nil_score"))
+    )
+
+    w = Window.partitionBy("mention_key").orderBy(
+        F.desc("raw_score"), F.asc("uri"), F.asc("cand_sf")
+    )
+    ranked = kept.withColumn("rank", F.row_number().over(w)).withColumn(
+        "pct_second_rank",
+        F.coalesce(
+            F.exp(F.lead("raw_score").over(w) - F.col("raw_score")),
+            F.lit(-1.0),
+        ),
+    )
+
+    # softmax over kept candidates ∪ {nil}, numerically stable per mention
+    wm = Window.partitionBy("mention_key")
+    max_sim = F.max("raw_score").over(wm)
+    max_ctx = F.max("ctx_score").over(wm)
+    lse_sim = max_sim + F.log(
+        F.sum(F.exp(F.col("raw_score") - max_sim)).over(wm)
+        + F.exp(F.col("nil_score") - max_sim)
+    )
+    lse_ctx = max_ctx + F.log(
+        F.sum(F.exp(F.col("ctx_score") - max_ctx)).over(wm)
+        + F.exp(F.col("nil_ctx_score") - max_ctx)
+    )
+    out = ranked.withColumn(
+        "final_score", F.exp(F.col("raw_score") - lse_sim)
+    ).withColumn("ctx_score_norm", F.exp(F.col("ctx_score") - lse_ctx))
+
+    return out.select(
+        "mention_key", "doc_id", "begin", "end", "sf", "uri", "res_id",
+        "support", "cand_sf",
+        F.col("final_score"),
+        F.col("ctx_score_norm").alias("ctx_score"),
+        "pct_second_rank", "rank", "raw_score", "nil_score",
+    )
+
+
+def linked_mentions(
+    scored: DataFrame, best_k: int | None = None
+) -> DataFrame:
+    """rank-1 winners (or top-k per mention for the bestK API)."""
+    k = 1 if best_k is None else best_k
+    return scored.filter(F.col("rank") <= k)
+
+
+def resolve_all_mentions(
+    mentions_with_key: DataFrame, winners: DataFrame
+) -> DataFrame:
+    """Left-join back to mentions: unlinked mentions get NULL uri (NIL)."""
+    return mentions_with_key.join(
+        winners.filter(F.col("rank") == 1).select(
+            "mention_key", "uri", "final_score", "ctx_score",
+            "pct_second_rank",
+        ),
+        "mention_key",
+        "left",
+    )
