@@ -266,6 +266,40 @@ def link_mentions(mentions, documents, model: OracleModel):
     return out
 
 
+def coreference_links(mentions, links: dict) -> dict:
+    """AnnotationFilter.buildCoreferents (:101-123): later single-word
+    mentions inherit the first earlier mention's resource when the earlier
+    capitalized sf word-contains them. Independent re-implementation of
+    operators/filters.coreference_resolution."""
+    def is_coref(prev_sf: str, later_sf: str) -> bool:
+        prev_words = prev_sf.split(" ")
+        later_words = later_sf.split(" ")
+        return (
+            len(later_words) == 1
+            and all(w[:1] == w[:1].upper() for w in prev_words)
+            and later_words[0] in prev_words
+        )
+
+    out = dict(links)
+    by_doc: dict[str, list] = {}
+    for m in mentions:
+        by_doc.setdefault(m.doc_id, []).append(m)
+    for doc_id, ms in by_doc.items():
+        ms = sorted(ms, key=lambda m: m.begin)
+        for i, later in enumerate(ms):
+            for prev in ms[:i]:
+                if is_coref(prev.sf, later.sf):
+                    src = out[prev.key]
+                    out[later.key] = {
+                        **out[later.key],
+                        "uri": src["uri"],
+                        "final_score": src["final_score"],
+                        "pct_second_rank": src["pct_second_rank"],
+                    }
+                    break
+    return out
+
+
 def cluster_mentions(links: dict) -> dict[str, str]:
     """mention_key -> cluster_id: resolved URI, or a NIL singleton."""
     return {

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (driver mandate).
+
+Two paths:
+  * brute-force cosine top-k — the correctness baseline. All math stays
+    JVM-side: F.zip_with products + F.aggregate sums; top-k via a
+    window. Queries broadcast against the corpus (no O(n²) shuffle).
+  * sign-LSH (random hyperplanes) — the scale path. Hyperplanes are a
+    seeded numpy matrix broadcast to executors; bucket code computed in
+    one Arrow-batched pandas UDF (matrix-vector product per batch);
+    candidates are bucket-joined and exactly re-ranked by cosine. At
+    10^12 rows the bucket join replaces the full cross product with
+    ~n/2^bits-sized buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_expr(a, b):
+    """cosine(a, b) as a pure column expression (0 when either is zero)."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(0.0)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query (self excluded when the
+    ids collide). Queries are broadcast; corpus streams once."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def make_hyperplanes(dim: int, n_bits: int = 12, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_bits, dim))
+
+
+def lsh_bucket_udf(planes_bc):
+    @pandas_udf(IntegerType())
+    def bucket(vectors: pd.Series) -> pd.Series:
+        planes = planes_bc.value  # (n_bits, dim)
+        mat = np.stack(vectors.to_numpy())  # (batch, dim)
+        signs = mat @ planes.T > 0  # (batch, n_bits)
+        codes = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
+        return pd.Series(codes.astype("int32"))
+
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate self top-k: bucket by hyperplane signs, exact cosine
+    rerank within buckets. Recall < 1 by design (single probe)."""
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+    planes_bc = spark.sparkContext.broadcast(
+        make_hyperplanes(dim, n_bits, seed)
+    )
+    bucketed = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", lsh_bucket_udf(planes_bc)(F.col("v")))
+
+    a = bucketed.select(
+        F.col("_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

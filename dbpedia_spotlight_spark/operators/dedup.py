@@ -1,0 +1,277 @@
+"""Document deduplication for large-scale training-data pipelines.
+
+Beyond the reference's operator set (driver mandate): exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard — each expressed so the
+hot path is JVM-side column math.
+
+Design for 100 TB:
+  * exact dedup = one groupBy on a 64-hex digest (shuffle on digest, no
+    skew — digests are uniform).
+  * MinHash signatures are computed per-row with array expressions (no
+    shuffle); the only shuffle is the band-bucket groupBy, and bucket
+    keys are uniform by construction.
+  * All hash functions are content-derived (md5 with a seed prefix), so
+    the same SQL is expressible in DuckDB for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per input, + (content_hash, dup_group, is_duplicate).
+
+    The group representative (is_duplicate = false) is the minimum id —
+    deterministic under re-runs.
+    """
+    hashed = df.withColumn("content_hash", F.md5(F.col(text_col)))
+    w = Window.partitionBy("content_hash")
+    return (
+        hashed.withColumn("dup_group", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("dup_group"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-grams as an array column (JVM-side)."""
+    toks = F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(
+            F.array(F.array_join(toks, " "))
+        )
+    )
+
+
+def minhash_signature(shingles_col, num_hashes: int = 16):
+    """array<string> of per-seed minima of md5(seed || shingle).
+
+    The lexicographic minimum of a keyed cryptographic digest is a valid
+    min-hash; using md5 keeps Spark and the DuckDB oracle bit-identical.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles_col,
+                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    shingle → minhash → band → bucket-join (SURVEY driver mandate).
+    Output: (id_a, id_b, band) — one row per (pair, matching band).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(
+            word_shingles(F.col(text_col), shingle_n), num_hashes
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(
+                                    F.col("sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                "|",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+    a = banded.select(
+        F.col("_id").alias("id_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "band")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage).
+
+    |A ∩ B| via explode + equi-join + count; |A ∪ B| = |A| + |B| − |∩|.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        F.size(word_shingles(F.col(text_col), shingle_n)).alias("n_sh"),
+    )
+    ex = sh.select("_id", F.explode("sh").alias("g"))
+    ea = ex.select(F.col("_id").alias("id_a"), F.col("g"))
+    eb = ex.select(F.col("_id").alias("id_b"), F.col("g"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(ea, "id_a")
+        .join(eb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sh.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sh.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.select("id_a", "id_b").distinct()
+        .join(inter, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, Arrow-batched kernel)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (vectorized per Arrow batch).
+
+    Python is unavoidable here (per-bit majority vote has no clean column
+    expression), so it runs as a pandas UDF — one call per batch.
+    """
+    import hashlib
+    import numpy as np
+    import re
+
+    out = []
+    for text in texts:
+        if text is None:
+            out.append(None)
+            continue
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        votes = np.zeros(64, dtype=np.int64)
+        if toks:
+            hashes = np.array(
+                [
+                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                    for t in toks
+                ],
+                dtype=np.uint64,
+            )
+            bits = (
+                hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]
+            ) & np.uint64(1)
+            votes = np.where(bits == 1, 1, -1).sum(axis=0)
+        val = 0
+        for i in range(64):
+            if votes[i] > 0:
+                val |= 1 << i
+        # to signed 64-bit
+        if val >= 1 << 63:
+            val -= 1 << 64
+        out.append(val)
+    return pd.Series(out, dtype="Int64")
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hamming_threshold: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on bit-bands (a pair within the
+    hamming threshold shares at least one of n_blocks 16-bit bands by
+    pigeonhole), verify hamming distance with bit_count."""
+    h = df.select(
+        F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("h")
+    )
+    width = 64 // n_blocks
+    banded = h.select(
+        "_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("h"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "h", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("h").alias("h_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("h").alias("h_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= hamming_threshold)
+    )

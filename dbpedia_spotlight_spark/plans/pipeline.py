@@ -66,6 +66,94 @@ def annotate(
     )
 
 
+@dataclass
+class ResolveResult:
+    resolved: DataFrame
+    clusters: DataFrame
+    counters: dict
+
+
+def resolve(
+    documents: DataFrame,
+    model: ModelTables,
+    stopwords: list[str],
+    params: PipelineParams = DEFAULT_PARAMS,
+    store=None,
+) -> ResolveResult:
+    """Full record-linkage run: annotate → filters → blocking counters →
+    edges → connected components → clusters.
+
+    Every stage checkpoints through `store` (sources/checkpoint.py) when
+    given; a killed run re-invoked with the same store resumes from the
+    last completed stage (tests/test_resume.py).
+    """
+    from ..operators.blocking import salted_blocks
+    from ..operators.cc import cluster_assignments
+    from ..operators.filters import apply_result_filters, coreference_resolution
+    from ..operators.pairs import edges_from_resolution
+
+    counters: dict = {}
+
+    def ck(stage, compute, **kw):
+        if store is None:
+            return compute()
+        return store.get_or_compute(stage, compute, **kw)
+
+    ann_holder = {}
+
+    def _annotate():
+        if "res" not in ann_holder:
+            ann_holder["res"] = annotate(documents, model, stopwords, params)
+        return ann_holder["res"]
+
+    mentions = ck("mentions", lambda: _annotate().mentions)
+    scored = ck(
+        "scored", lambda: _annotate().scored, lineage=["mentions"]
+    )
+    filtered = apply_result_filters(scored, params)
+
+    def _resolved():
+        from ..operators.disambiguate import resolve_all_mentions
+
+        res = resolve_all_mentions(mentions, filtered)
+        if params.coreference_resolution:
+            res = coreference_resolution(res)
+        return res
+
+    resolved = ck("resolved", _resolved, lineage=["mentions", "scored"])
+
+    # blocking counters (skew accounting for the manifest; the
+    # reference-faithful edge set itself is linear in mentions)
+    salted, _tasks, bc = salted_blocks(
+        mentions.join(
+            resolved.select("mention_key", "uri"), "mention_key", "left"
+        ),
+        params,
+    )
+    counters["blocking"] = {
+        "n_blocks": bc.n_blocks,
+        "n_blocks_split": bc.n_blocks_split,
+        "max_block_size": bc.max_block_size,
+        "n_salt_tasks": bc.n_salt_tasks,
+    }
+
+    edges = ck(
+        "edges",
+        lambda: edges_from_resolution(resolved),
+        counters=counters["blocking"],
+        lineage=["resolved"],
+    )
+    clusters = cluster_assignments(
+        resolved, edges, store=store, stage_prefix="cc"
+    )
+    if store is not None:
+        clusters = store.get_or_compute(
+            "clusters", lambda: clusters, lineage=["edges"]
+        )
+    return ResolveResult(resolved=resolved, clusters=clusters,
+                         counters=counters)
+
+
 def clusters_by_uri(resolved: DataFrame) -> DataFrame:
     """Trivial clustering: cluster id = resolved URI; NIL mentions are
     singletons (cluster id = their own mention key). The reference

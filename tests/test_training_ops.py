@@ -1,0 +1,159 @@
+"""Dedup / ANN / text-stats / multimodal operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_spark.operators.ann import (
+    brute_force_topk,
+    lsh_topk,
+)
+from dbpedia_spotlight_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash_dedup,
+)
+from dbpedia_spotlight_spark.operators.multimodal import (
+    decode_media,
+    media_payloads_from_documents,
+    resize_plan,
+    sample_frames,
+)
+from dbpedia_spotlight_spark.operators.textstats import text_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "the quick brown fox jumps over the lazy dog"),  # exact dup
+        ("d3", "the quick brown fox leaps over the lazy dog"),  # near dup
+        ("d4", "el rapido zorro marron salta sobre el perro"),
+        ("d5", "completely different content about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert out["d1"]["dup_group"] == out["d2"]["dup_group"] == "d1"
+    assert not out["d1"]["is_duplicate"] and out["d2"]["is_duplicate"]
+    assert not out["d3"]["is_duplicate"]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    cand = minhash_lsh_candidates(docs, shingle_n=2, num_hashes=16, bands=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert ("d1", "d2") in pairs          # identical docs always collide
+    assert ("d1", "d3") in pairs          # near dup should collide in >=1 band
+    assert ("d1", "d4") not in pairs
+
+
+def test_ngram_jaccard_values(spark, docs):
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d1", "d3"), ("d1", "d5")],
+        "id_a string, id_b string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard(docs, pairs, shingle_n=2).collect()
+    }
+    assert got[("d1", "d2")] == 1.0
+    assert 0.0 < got[("d1", "d3")] < 1.0
+    assert got[("d1", "d5")] == 0.0
+
+
+def test_simhash_near_dups(docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dedup(docs, hamming_threshold=10).collect()
+    }
+    assert out[("d1", "d2")] == 0
+    assert ("d1", "d3") in out
+    assert ("d1", "d5") not in out
+
+
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((10, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a near-duplicate vector for each: i+100 ~ i
+        rows.append((i + 100, [float(x + 0.01 * rng.standard_normal()) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_nearest_is_the_perturbed_twin(vectors):
+    out = brute_force_topk(vectors, vectors.filter("vec_id < 100"), k=1)
+    for r in out.collect():
+        assert r["neighbor_id"] == r["query_id"] + 100
+        assert r["cosine"] > 0.99
+
+
+def test_lsh_topk_agrees_with_brute_force_mostly(vectors):
+    bf = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(vectors, vectors, k=1).collect()
+    }
+    lsh = {
+        r["query_id"]: r["neighbor_id"]
+        for r in lsh_topk(vectors, k=1, n_bits=4).collect()
+    }
+    agree = sum(1 for q, n in lsh.items() if bf.get(q) == n)
+    assert agree / len(bf) >= 0.5  # single-probe LSH: recall < 1 by design
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_text_stats(docs):
+    out = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert out["d1"]["n_tokens"] == 9
+    assert out["d1"]["lang_pred"] == "en"
+    assert out["d4"]["lang_pred"] == "es"
+    assert 0.0 <= out["d1"]["quality"] <= 1.0
+    assert out["d1"]["fingerprint"] == out["d2"]["fingerprint"]
+    assert out["d1"]["fingerprint"] != out["d3"]["fingerprint"]
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark, fixture_dir):
+    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    media = media_payloads_from_documents(docs)
+    n_media = media.count()
+    assert n_media > 0
+    decoded = decode_media(media, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == n_media
+    for r in rows[:5]:
+        assert r["width"] >= 16 and r["height"] >= 16
+        assert len(r["features"]) == 8
+    # determinism
+    again = decode_media(media, fake=True).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+    resized = resize_plan(decoded, max_side=32).collect()
+    for r in resized:
+        assert max(r["out_width"], r["out_height"]) <= 32
+    frames = sample_frames(decoded, every_k=2)
+    assert frames.count() >= n_media
+
+
+def test_multimodal_decode_stub_raises_without_fake(spark):
+    media = spark.createDataFrame(
+        [("File:x.jpg", "image/jpeg", bytearray(b"xx"), None, None)],
+        "media_ref string, media_type string, payload binary,"
+        " meta_width int, meta_height int",
+    )
+    with pytest.raises(Exception) as exc:
+        decode_media(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
