@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total seconds), "unit": "sec",
+"queries": {name: sec}, "sf", plus docs/sec throughput extras}.
+
+Set BENCH_PROFILE=scaling to run the identical job at local[8] and
+local[32] sequentially and report scaling efficiency (north_rule's
+two-cluster-size evidence; see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "spot_exact_dict",
+    "prior_disambiguation",
+    "er_clusters",
+    "context_scores",
+    "connected_components",
+    "dedup_exact",
+    "dedup_minhash",
+    "ngram_jaccard",
+    "ann_cosine_topk",
+    "text_quality",
+    "fingerprints",
+]
+
+
+def run_once(master: str, sf_dir: str, shuffle_partitions: int) -> dict:
+    from dbpedia_spotlight_spark.plans import driver_queries as DQ
+    from dbpedia_spotlight_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-{master}",
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+    )
+    n_docs = DQ._docs(spark, sf_dir).count()
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = DQ.QUERIES[name](spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+    spark.stop()
+    return {"total_sec": total, "queries": timings, "n_docs": n_docs}
+
+
+def scaling_job(master: str, sf_dir: str, shuffle_partitions: int,
+                replicate: int = 40) -> dict:
+    """The two-parallelism scaling measure (north_rule evidence).
+
+    One compute-bound pipeline run — AC spotting (pandas UDF), prior
+    linking (broadcast joins + window), minhash signatures + bucket join,
+    text quality/fingerprints — over the corpus replicated `replicate`x
+    (~200k docs at sf0.1) so per-core work dominates fixed overheads.
+    Identical input and plan at both parallelism levels; only the master
+    and shuffle partitioning differ — the local-mode stand-in for N vs 4N
+    executors.
+    """
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from dbpedia_spotlight_spark.operators.textstats import text_stats
+    from dbpedia_spotlight_spark.plans import driver_queries as DQ
+    from dbpedia_spotlight_spark.session import get_spark
+
+    from pyspark.sql import Window
+
+    from dbpedia_spotlight_spark.operators.spotting import (
+        broadcast_automaton, build_automaton, spot_documents,
+    )
+
+    spark = get_spark(
+        app_name=f"scaling-{master}",
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+    )
+    base = DQ._docs(spark, sf_dir)
+    # replicas are textually distinct (rep token appended) so dedup and
+    # blocking see a realistic corpus, not 40-way identical buckets
+    docs = base.select(
+        F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("rep"),
+        "doc_id", "text", "source",
+    ).select(
+        F.concat_ws("-", "doc_id", "rep").alias("doc_id"),
+        F.concat_ws(" ", "text", F.concat(F.lit("rep"), "rep")).alias("text"),
+        "source",
+    )
+    n_docs = base.count() * replicate
+    docs = docs.repartition(shuffle_partitions * 2).cache()
+    docs.count()  # materialize input outside the timed window
+
+    def spanize(d):
+        return d.select(
+            "doc_id",
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"), F.col("text").alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(0).cast("int").alias("offset"),
+                )
+            ).alias("spans"),
+        )
+
+    ac_bc = broadcast_automaton(spark, build_automaton(DQ.DICTIONARY))
+    # warm up every python worker (module imports) outside the timed
+    # window: one spotter pass over the base corpus spread across the
+    # full partition count
+    spot_documents(
+        spanize(
+            base.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        "text").repartition(shuffle_partitions * 2)
+        ),
+        ac_bc,
+    ).count()
+
+    t0 = time.time()
+    mentions = spot_documents(spanize(docs), ac_bc).cache()
+    n_mentions = mentions.count()
+
+    pc = docs.select(
+        F.col("source").alias("uri"),
+        F.explode(F.split("text", " ")).alias("sf"),
+    ).filter(F.col("sf").isin(DQ.DICTIONARY)).groupBy("sf", "uri").count()
+    best = pc.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("sf").orderBy(F.desc("count"), F.asc("uri"))
+        ),
+    ).filter(F.col("_rn") == 1).select("sf", "uri")
+    n_linked = mentions.join(F.broadcast(best), "sf").count()
+
+    text_stats(docs).agg(F.sum("n_tokens"), F.count("*")).collect()
+    n_cand = minhash_lsh_candidates(docs, shingle_n=3, num_hashes=8,
+                                    bands=4).count()
+    elapsed = time.time() - t0
+    mentions.unpersist()
+    spark.stop()
+    return {
+        "sec": round(elapsed, 3),
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / elapsed, 2),
+        "n_mentions": n_mentions,
+        "n_linked": n_linked,
+        "n_minhash_candidates": n_cand,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    profile = os.environ.get("BENCH_PROFILE", "")
+
+    if profile == "scaling":
+        # N vs 4N cores. The sandbox host is shared (ambient load shows in
+        # /proc/loadavg with no local processes), so the defaults use the
+        # lower 2-vs-8 pair where free cores are reliably available; set
+        # BENCH_LO/BENCH_HI=8/32 to use the full machine when it is idle.
+        lo_n = int(os.environ.get("BENCH_LO", "2"))
+        hi_n = int(os.environ.get("BENCH_HI", str(lo_n * 4)))
+        rep = int(os.environ.get("BENCH_REPLICATE", "20"))
+        # identical config (incl. shuffle partitioning) for both runs —
+        # ONLY the master's core count differs (north_rule)
+        parts = hi_n * 2
+        lo = scaling_job(f"local[{lo_n}]", sf_dir, parts, rep)
+        hi = scaling_job(f"local[{hi_n}]", sf_dir, parts, rep)
+        factor = hi_n / lo_n
+        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / factor
+        out = {
+            "metric": f"scaling_pipeline_sec_local{hi_n}",
+            "value": hi["sec"],
+            "unit": "sec",
+            "queries": {f"pipeline_local{lo_n}": lo["sec"],
+                        f"pipeline_local{hi_n}": hi["sec"]},
+            "sf": sf,
+            "n_docs": hi["n_docs"],
+            f"docs_per_sec_local{lo_n}": lo["docs_per_sec"],
+            f"docs_per_sec_local{hi_n}": hi["docs_per_sec"],
+            f"scaling_efficiency_{lo_n}_to_{hi_n}": round(eff, 3),
+            "n_mentions": hi["n_mentions"],
+        }
+    else:
+        res = run_once(f"local[{cpus}]", sf_dir, int(cpus))
+        out = {
+            "metric": "headline_total_sec",
+            "value": res["total_sec"],
+            "unit": "sec",
+            "queries": res["queries"],
+            "sf": sf,
+            "docs_per_sec": round(res["n_docs"] / res["total_sec"], 2),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -67,14 +67,16 @@ def minhash_signature(shingles_col, num_hashes: int = 16):
     The lexicographic minimum of a keyed cryptographic digest is a valid
     min-hash; using md5 keeps Spark and the DuckDB oracle bit-identical.
     """
+
+    # NB: the lambda must be unary — PySpark treats a two-parameter lambda
+    # as (element, index) and would shadow the seed.
+    def seeded(i: int):
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingles_col,
-                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)),
-                )
-            )
+            F.array_min(F.transform(shingles_col, seeded(i)))
             for i in range(num_hashes)
         ]
     )
@@ -94,11 +96,23 @@ def minhash_lsh_candidates(
     Output: (id_a, id_b, band) — one row per (pair, matching band).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # Signatures via explode + aggregating mins rather than the inline
+    # array expression: Catalyst does no common-subexpression elimination
+    # through lambda functions, so inlining re-evaluates the shingle +
+    # md5 tree once per band reference (~32x). The groupBy computes each
+    # md5 exactly once and map-side combine reduces the shuffle to one
+    # signature row per document — also the right shape at 10^12 rows.
+    exploded = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(
-            word_shingles(F.col(text_col), shingle_n), num_hashes
-        ).alias("sig"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g"),
+    )
+    sig = exploded.groupBy("_id").agg(
+        F.array(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("g"))))
+                for i in range(num_hashes)
+            ]
+        ).alias("sig")
     )
     banded = sig.select(
         "_id",

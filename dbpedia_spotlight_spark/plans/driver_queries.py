@@ -1,0 +1,757 @@
+"""Driver-contract queries: each SURVEY.md §2 operator exercised over the
+driver's testdata tables, with an ANSI-SQL twin DuckDB can run.
+
+The driver runs QUERIES[name](spark, sf_dir) and ORACLE_SQL[name]
+side-by-side at sf=0.01 and compares row count + schema + value hashes
+(CORRECTNESS_r{N}.json). Column names/types and float rounding are kept
+identical on both sides; floating aggregates are rounded to 6 dp to
+absorb summation-order noise.
+
+The `documents` testdata table (doc_id, text, lang, source, n_chars) is
+treated as the corpus: `source` plays the resource/URI role, dictionary
+words play surface forms — the same operator implementations the
+entity-resolution pipeline uses on its fixture tables run here on the
+driver's data.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import PipelineParams
+from ..functions.normalize import sf_normalize_expr, sf_normalize_sql
+from ..functions.similarity import (
+    edit_distance_score_expr,
+    jaro_winkler_udf,
+)
+from ..functions.tokenize import tokenize_expr
+from ..operators import textstats as TS
+from ..operators.ann import brute_force_topk, lsh_topk
+from ..operators.cc import connected_components
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash_dedup,
+)
+from ..operators.redirects import close_redirects
+from ..operators.spotting import (
+    broadcast_automaton,
+    build_automaton,
+    spot_documents,
+)
+
+# surface-form dictionary over the testdata vocabulary (single tokens,
+# length >= 3 so the min-length selector is a no-op, as in the fixtures)
+DICTIONARY = [
+    "spark", "hash", "join", "scan", "window",
+    "stream", "merge", "sort", "batch", "filter",
+]
+GOLD_DICT = ["spark", "join", "scan", "window"]
+CTX_CANDIDATES = ["src0", "src1", "src2"]
+MIN_TOKEN_COUNT = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _spanize(docs: DataFrame) -> DataFrame:
+    """Wrap the flat text into the mandated spans schema (one text span)."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real AC-spotter path over the testdata corpus."""
+    docs = _spanize(_docs(spark, sf_dir))
+    ac = build_automaton(DICTIONARY, case_sensitive=False)
+    bc = broadcast_automaton(spark, ac)
+    return spot_documents(docs, bc).select("doc_id", "begin", "sf")
+
+
+def _dup_corpus(docs: DataFrame) -> DataFrame:
+    """Corpus unioned with itself at doc_id+10000 — gives every doc one
+    exact duplicate so dedup operators have real work."""
+    return docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine-side queries
+# ---------------------------------------------------------------------------
+
+def q_sf_normalize(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", sf_normalize_expr(F.col("text")).alias("sf_norm")
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokenize_expr(F.col("text"))).alias("token")
+    )
+    return toks.groupBy("token").agg(F.count("*").alias("cnt"))
+
+
+def q_token_vocab(spark, sf_dir):
+    counts = q_token_counts(spark, sf_dir).filter(
+        F.col("cnt") >= MIN_TOKEN_COUNT
+    )
+    w = Window.orderBy("token")
+    return counts.select(
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
+        "token",
+        "cnt",
+    )
+
+
+def q_uri_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    total = docs.count()
+    return docs.groupBy(F.col("source").alias("uri")).agg(
+        F.count("*").alias("support")
+    ).withColumn(
+        "prior", F.round(F.col("support") / F.lit(float(total)), 9)
+    )
+
+
+def q_pair_counts(spark, sf_dir):
+    toks = _docs(spark, sf_dir).select(
+        F.col("source").alias("uri"),
+        F.explode(tokenize_expr(F.col("text"))).alias("sf"),
+    ).filter(F.col("sf").isin(DICTIONARY))
+    return toks.groupBy("sf", "uri").agg(F.count("*").alias("pair_count"))
+
+
+def q_spot_exact_dict(spark, sf_dir):
+    return _mentions(spark, sf_dir)
+
+
+def q_prior_disambiguation(spark, sf_dir):
+    mentions = _mentions(spark, sf_dir)
+    pc = q_pair_counts(spark, sf_dir)
+    w = Window.partitionBy("sf").orderBy(
+        F.desc("pair_count"), F.asc("uri")
+    )
+    best = pc.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).select("sf", "uri")
+    return mentions.join(F.broadcast(best), "sf").select(
+        "doc_id", "begin", "sf", "uri"
+    )
+
+
+def q_candidate_topk(spark, sf_dir):
+    pc = q_pair_counts(spark, sf_dir)
+    w = Window.partitionBy("sf").orderBy(F.desc("pair_count"), F.asc("uri"))
+    return pc.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= 3
+    )
+
+
+def q_context_scores(spark, sf_dir):
+    """Generative context score of 3 fixed candidate sources for the first
+    50 docs — the real scoring operator over a corpus-derived model."""
+    from ..operators.scoring import context_scores
+    from .model_build import ModelTables
+
+    docs = _docs(spark, sf_dir)
+    vocab = q_token_vocab(spark, sf_dir).withColumnRenamed("cnt", "count")
+    toks = docs.select(
+        "source", F.explode(tokenize_expr(F.col("text"))).alias("token")
+    )
+    src_ids = docs.select(F.col("source")).distinct().withColumn(
+        "res_id",
+        (F.row_number().over(Window.orderBy("source")) - 1).cast("int"),
+    )
+    ctx_counts = (
+        toks.join(vocab.select("token", "token_id"), "token")
+        .groupBy("source", "token_id")
+        .agg(F.count("*").alias("count"))
+        .join(src_ids, "source")
+        .select("res_id", "token_id", "count")
+    )
+    totals = vocab.agg(F.sum("count"), F.count("*")).collect()[0]
+    model = ModelTables(
+        surface_form_stats=None,
+        resources=src_ids.select(
+            "res_id", F.col("source").alias("uri"),
+            F.lit(1).alias("support"), F.lit(1.0).alias("prior"),
+            F.array().cast("array<string>").alias("types"),
+        ),
+        candidate_map=None,
+        tokens=vocab.select("token_id", "token", "count"),
+        context_counts=ctx_counts,
+        total_annotated_count=1,
+        total_token_count=int(totals[0]),
+        vocab_size=int(totals[1]),
+    )
+    doc_tokens = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array_sort(
+            F.array_distinct(tokenize_expr(F.col("text")))
+        ).alias("query_tokens"),
+    )
+    cand_ids = src_ids.filter(F.col("source").isin(CTX_CANDIDATES))
+    mention_cands = doc_tokens.select("doc_id").crossJoin(
+        F.broadcast(cand_ids)
+    )
+    ctx, _nil = context_scores(
+        mention_cands.select("doc_id", "res_id"), doc_tokens, model,
+        PipelineParams(),
+    )
+    return (
+        ctx.join(F.broadcast(src_ids), "res_id")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("source").alias("uri"),
+            F.round("ctx_score", 6).alias("ctx_score"),
+        )
+    )
+
+
+def q_support_filter(spark, sf_dir):
+    linked = q_prior_disambiguation(spark, sf_dir)
+    uc = q_uri_counts(spark, sf_dir).select("uri", "support")
+    return linked.join(F.broadcast(uc), "uri").filter(
+        F.col("support") >= 25
+    ).select("doc_id", "begin", "uri", "support")
+
+
+def q_redirect_closure(spark, sf_dir):
+    """src<i> -> src<i-1> chains closed to the fixpoint src0 — the
+    reference's transitive closure (WikipediaToDBpediaClosure.scala)."""
+    sources = sorted(
+        r["source"]
+        for r in _docs(spark, sf_dir).select("source").distinct().collect()
+    )
+    chain = {
+        s: f"src{int(s[3:]) - 1}" for s in sources if int(s[3:]) > 0
+    }
+    closed = close_redirects(chain)
+    return spark.createDataFrame(
+        sorted(closed.items()), "src_uri string, final_uri string"
+    )
+
+
+def q_connected_components(spark, sf_dir):
+    """Chain edges (consecutive docs within a source) -> real
+    large-star/small-star CC; components must equal source groups."""
+    docs = _docs(spark, sf_dir)
+    key = F.lpad(F.col("doc_id").cast("string"), 8, "0")
+    w = Window.partitionBy("source").orderBy("k")  # zero-padded == numeric
+    edges = (
+        docs.select("source", key.alias("k"))
+        .withColumn("nxt", F.lead("k").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("k").alias("src"), F.col("nxt").alias("dst"))
+    )
+    return connected_components(edges).select(
+        "mention_key", "cluster_id"
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    dup = _dup_corpus(_docs(spark, sf_dir))
+    return exact_dedup(dup).select(
+        "doc_id", "content_hash", "dup_group", "is_duplicate"
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    dup = _dup_corpus(_docs(spark, sf_dir))
+    return minhash_lsh_candidates(
+        dup, shingle_n=3, num_hashes=8, bands=4
+    ).select("id_a", "id_b").distinct()
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = docs.filter((F.col("doc_id") % 5 == 0)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return ngram_jaccard(docs, pairs, shingle_n=3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    dup = _dup_corpus(_docs(spark, sf_dir))
+    return simhash_dedup(dup, hamming_threshold=3)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return lsh_topk(emb, k=3, n_bits=6).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TS.language_id_expr(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    c = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TS.token_count_expr(c).cast("bigint").alias("n_tokens"),
+        TS.bpe_token_estimate_expr(c).alias("n_tokens_bpe"),
+        TS.quality_score_expr(c).alias("quality"),
+    )
+
+
+def q_fingerprints(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TS.fingerprint_expr(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_jaro_winkler(spark, sf_dir):
+    src = _docs(spark, sf_dir).select("source").distinct()
+    a = src.select(F.col("source").alias("sa"))
+    b = src.select(F.col("source").alias("sb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("sa") < F.col("sb"))
+        .select(
+            "sa", "sb",
+            F.round(jaro_winkler_udf(F.col("sa"), F.col("sb")), 6).alias("jw"),
+        )
+    )
+
+
+def q_edit_distance(spark, sf_dir):
+    src = _docs(spark, sf_dir).select("source").distinct()
+    a = src.select(F.col("source").alias("sa"))
+    b = src.select(F.col("source").alias("sb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("sa") < F.col("sb"))
+        .select(
+            "sa", "sb",
+            F.round(
+                edit_distance_score_expr(F.col("sa"), F.col("sb")), 6
+            ).alias("ed_score"),
+        )
+    )
+
+
+def q_spot_eval_pr(spark, sf_dir):
+    """Spotter P/R harness shape (EvalSpotter.scala:113-135): predicted =
+    full dictionary spots, gold = GOLD_DICT spots; join on identity."""
+    mentions = _mentions(spark, sf_dir)
+    pred = mentions
+    gold = mentions.filter(F.col("sf").isin(GOLD_DICT))
+    tp = pred.join(gold, ["doc_id", "begin", "sf"], "left_semi").count()
+    n_pred, n_gold = pred.count(), gold.count()
+    return spark.createDataFrame(
+        [
+            (
+                tp,
+                n_pred - tp,
+                n_gold - tp,
+                round(tp / n_pred, 6) if n_pred else 0.0,
+                round(tp / n_gold, 6) if n_gold else 0.0,
+            )
+        ],
+        "tp bigint, fp bigint, fn bigint, precision double, recall double",
+    )
+
+
+def q_spans_passthrough(spark, sf_dir):
+    """Span-sequence invariant surface: spanize and re-emit (kind, text,
+    media_ref, order) — must be lossless."""
+    sp = _spanize(_docs(spark, sf_dir))
+    return sp.select(
+        "doc_id", F.posexplode("spans").alias("span_order", "s")
+    ).select(
+        "doc_id",
+        F.col("span_order").cast("int").alias("span_order"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def q_er_clusters(spark, sf_dir):
+    """Flagship: spot -> prior-link -> hub edges -> REAL connected
+    components -> cluster assignments (the full ER path on driver data)."""
+    from ..operators.pairs import edges_from_resolution
+
+    linked = q_prior_disambiguation(spark, sf_dir).withColumn(
+        "mention_key",
+        F.concat_ws(":", F.col("doc_id"), F.col("begin")),
+    )
+    edges = edges_from_resolution(linked)
+    cc = connected_components(edges)
+    return (
+        linked.select("mention_key", "uri")
+        .join(cc, "mention_key", "left")
+        .select(
+            "mention_key",
+            F.coalesce(F.col("cluster_id"), F.col("mention_key")).alias(
+                "cluster_id"
+            ),
+            "uri",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL twins
+# ---------------------------------------------------------------------------
+
+_DICT_SQL = "(" + ", ".join(f"'{w}'" for w in DICTIONARY) + ")"
+_GOLD_SQL = "(" + ", ".join(f"'{w}'" for w in GOLD_DICT) + ")"
+
+_TOK_CTE = (
+    "tok AS (SELECT doc_id, source, unnest(string_split_regex(lower(text),"
+    " '[^a-z0-9]+')) AS token FROM documents)"
+)
+
+_SPOT_CTE = f"""
+tw AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+              generate_subscripts(string_split(text,' '),1) AS ord
+       FROM documents),
+offs AS (SELECT doc_id, tok, ord,
+           CAST(coalesce(sum(length(tok)+1) OVER (PARTITION BY doc_id
+             ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS INT) AS begin
+         FROM tw),
+m AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, begin, tok AS sf
+      FROM offs WHERE tok IN {_DICT_SQL})
+"""
+
+_PC_CTE = f"""
+pc AS (SELECT token AS sf, source AS uri, count(*) AS pair_count
+       FROM tok WHERE token IN {_DICT_SQL} GROUP BY 1, 2)
+"""
+
+_BEST_CTE = """
+best AS (SELECT sf, uri FROM (
+           SELECT sf, uri, row_number() OVER (PARTITION BY sf
+             ORDER BY pair_count DESC, uri ASC) AS rn FROM pc)
+         WHERE rn = 1)
+"""
+
+_SHINGLE_CTE = """
+tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM {src}),
+sh AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS g
+       FROM tk, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i))
+"""
+
+_STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in TS.STOPWORDS_EN) + ")"
+
+
+def _lang_hits_sql() -> str:
+    cols, un = [], []
+    for lang, markers in sorted(LANG := TS.LANG_MARKERS.items()):
+        mk = "(" + ", ".join(f"'{m}'" for m in markers) + ")"
+        cols.append(
+            f"len(list_filter(toks, x -> x IN {mk})) AS h_{lang}"
+        )
+        un.append(
+            f"SELECT doc_id, '{lang}' AS lang, h_{lang} AS hits FROM hits"
+        )
+    return (
+        "t AS (SELECT doc_id, list_filter(string_split_regex(lower(text),"
+        " '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),\n"
+        "hits AS (SELECT doc_id, " + ", ".join(cols) + " FROM t),\n"
+        "lg AS (" + " UNION ALL ".join(un) + ")"
+    )
+
+
+_MINHASH_SIG = ", ".join(
+    f"min(md5('{i}|' || g)) AS h{i}" for i in range(8)
+)
+_MINHASH_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS bucket"
+    " FROM sig"
+    for b in range(4)
+)
+
+ORACLE_SQL: dict[str, str] = {
+    "sf_normalize": (
+        f"SELECT doc_id, {sf_normalize_sql('text')} AS sf_norm FROM documents"
+    ),
+    "token_counts": (
+        f"WITH {_TOK_CTE} SELECT token, count(*) AS cnt FROM tok"
+        " WHERE token <> '' GROUP BY token"
+    ),
+    "token_vocab": (
+        f"WITH {_TOK_CTE}, tc AS (SELECT token, count(*) AS cnt FROM tok"
+        " WHERE token <> '' GROUP BY token HAVING count(*) >= 3)"
+        " SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS INT)"
+        " AS token_id, token, cnt FROM tc"
+    ),
+    "uri_counts": (
+        "SELECT source AS uri, count(*) AS support,"
+        " round(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE),"
+        " 9) AS prior FROM documents GROUP BY source"
+    ),
+    "pair_counts": (
+        f"WITH {_TOK_CTE}, {_PC_CTE} SELECT sf, uri, pair_count FROM pc"
+    ),
+    "spot_exact_dict": (
+        f"WITH {_SPOT_CTE} SELECT doc_id, begin, sf FROM m"
+    ),
+    "prior_disambiguation": (
+        f"WITH {_TOK_CTE}, {_PC_CTE}, {_BEST_CTE}, {_SPOT_CTE}"
+        " SELECT m.doc_id, m.begin, m.sf, b.uri FROM m JOIN best b USING (sf)"
+    ),
+    "candidate_topk": (
+        f"WITH {_TOK_CTE}, {_PC_CTE}"
+        " SELECT sf, uri, pair_count, CAST(rn AS INT) AS rank FROM ("
+        "   SELECT sf, uri, pair_count, row_number() OVER (PARTITION BY sf"
+        "     ORDER BY pair_count DESC, uri ASC) AS rn FROM pc)"
+        " WHERE rn <= 3"
+    ),
+    "context_scores": f"""
+WITH {_TOK_CTE},
+vocab AS (SELECT token, count(*) AS c FROM tok WHERE token <> ''
+          GROUP BY token HAVING count(*) >= {MIN_TOKEN_COUNT}),
+totals AS (SELECT sum(c) AS total_tokens, count(*) AS vocab_size FROM vocab),
+ctx AS (SELECT source, token, count(*) AS c FROM tok
+        WHERE token IN (SELECT token FROM vocab) GROUP BY 1, 2),
+ctot AS (SELECT source, sum(c) AS tot FROM ctx GROUP BY source),
+qt AS (SELECT DISTINCT doc_id, token FROM tok
+       WHERE doc_id < 50 AND token <> ''),
+cand AS (SELECT unnest([{", ".join(f"'{c}'" for c in CTX_CANDIDATES)}]) AS uri),
+terms AS (
+  SELECT q.doc_id, cand.uri,
+    ln(coalesce(v.c, 0) + 1.0)
+      - ln((SELECT total_tokens + vocab_size FROM totals)) AS p_lm,
+    cx.c AS cct, ct.tot AS tot
+  FROM qt q CROSS JOIN cand
+  LEFT JOIN vocab v ON v.token = q.token
+  LEFT JOIN ctx cx ON cx.source = cand.uri AND cx.token = q.token
+  LEFT JOIN ctot ct ON ct.source = cand.uri)
+SELECT doc_id, uri, round(sum(
+  CASE WHEN cct IS NOT NULL AND cct > 0 AND tot > 0 THEN
+    greatest(ln(0.8) + p_lm, ln(0.2) + ln(cct / CAST(tot AS DOUBLE)))
+    + ln(1 + exp(least(ln(0.8) + p_lm, ln(0.2) + ln(cct / CAST(tot AS DOUBLE)))
+                 - greatest(ln(0.8) + p_lm,
+                            ln(0.2) + ln(cct / CAST(tot AS DOUBLE)))))
+  ELSE ln(0.8) + p_lm END), 6) AS ctx_score
+FROM terms GROUP BY doc_id, uri
+""",
+    "support_filter": (
+        f"WITH {_TOK_CTE}, {_PC_CTE}, {_BEST_CTE}, {_SPOT_CTE},"
+        " uc AS (SELECT source AS uri, count(*) AS support FROM documents"
+        "   GROUP BY source)"
+        " SELECT m.doc_id, m.begin, b.uri, uc.support"
+        " FROM m JOIN best b USING (sf) JOIN uc ON uc.uri = b.uri"
+        " WHERE uc.support >= 25"
+    ),
+    "redirect_closure": """
+WITH RECURSIVE r(src, dst) AS (
+  SELECT source, 'src' || CAST(CAST(substr(source, 4) AS INT) - 1 AS VARCHAR)
+  FROM (SELECT DISTINCT source FROM documents)
+  WHERE CAST(substr(source, 4) AS INT) > 0),
+walk(src, cur) AS (
+  SELECT src, dst FROM r
+  UNION ALL
+  SELECT w.src, r.dst FROM walk w JOIN r ON w.cur = r.src)
+SELECT DISTINCT src AS src_uri, cur AS final_uri FROM walk
+WHERE cur NOT IN (SELECT src FROM r)
+""",
+    "connected_components": (
+        "SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS mention_key,"
+        " min(lpad(CAST(doc_id AS VARCHAR), 8, '0'))"
+        "   OVER (PARTITION BY source) AS cluster_id"
+        " FROM documents"
+    ),
+    "dedup_exact": """
+WITH dup AS (SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + 10000, text FROM documents)
+SELECT doc_id, md5(text) AS content_hash,
+  min(doc_id) OVER (PARTITION BY md5(text)) AS dup_group,
+  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM dup
+""",
+    "dedup_minhash": f"""
+WITH dup AS (SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + 10000, text FROM documents),
+{_SHINGLE_CTE.format(src="dup")},
+sig AS (SELECT doc_id, {_MINHASH_SIG} FROM sh GROUP BY doc_id),
+banded AS ({_MINHASH_BANDS})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+""",
+    "ngram_jaccard": f"""
+WITH {_SHINGLE_CTE.format(src="documents")},
+n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+          WHERE doc_id % 5 = 0),
+inter AS (SELECT p.id_a, p.id_b, count(*) AS ni
+          FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+          JOIN sh b ON b.doc_id = p.id_b AND b.g = a.g
+          GROUP BY 1, 2)
+SELECT p.id_a, p.id_b,
+  round(coalesce(i.ni, 0)
+    / CAST(na.n_sh + nb.n_sh - coalesce(i.ni, 0) AS DOUBLE), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN n na ON na.doc_id = p.id_a
+JOIN n nb ON nb.doc_id = p.id_b
+""",
+    "ann_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+        list_dot_product(qv, cv)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+          AS cosine
+      FROM q, c WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+       CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= 3
+""",
+    "lang_id": (
+        "WITH " + _lang_hits_sql() +
+        " SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END"
+        " AS lang_pred FROM ("
+        "   SELECT doc_id, lang, hits, row_number() OVER ("
+        "     PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn"
+        "   FROM lg) WHERE rn = 1"
+    ),
+    "text_quality": f"""
+WITH t AS (SELECT doc_id, text,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x <> '') AS toks FROM documents),
+m AS (SELECT doc_id, text, len(toks) AS n,
+  CASE WHEN len(toks) > 0 THEN
+    len(list_filter(toks, x -> x IN {_STOPWORDS_SQL}))
+      / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+  CASE WHEN length(text) > 0 THEN
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
+  CASE WHEN len(toks) > 0 THEN
+    list_sum(list_transform(toks, x -> length(x)))
+      / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mwl
+FROM t)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe,
+  round(0.25 * (CASE WHEN n >= 5 AND n <= 100000 THEN 1.0 ELSE 0.0 END)
+      + 0.25 * (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
+      + 0.25 * least(stop_ratio * 4.0, 1.0)
+      + 0.25 * alpha_ratio, 6) AS quality
+FROM m
+""",
+    "fingerprints": (
+        "WITH t AS (SELECT doc_id,"
+        " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        " x -> x <> '') AS toks FROM documents)"
+        " SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)),"
+        " ' ')) AS fingerprint FROM t"
+    ),
+    "jaro_winkler": (
+        "WITH s AS (SELECT DISTINCT source FROM documents)"
+        " SELECT a.source AS sa, b.source AS sb,"
+        " round(jaro_winkler_similarity(a.source, b.source), 6) AS jw"
+        " FROM s a, s b WHERE a.source < b.source"
+    ),
+    "edit_distance": (
+        "WITH s AS (SELECT DISTINCT source FROM documents)"
+        " SELECT a.source AS sa, b.source AS sb,"
+        " round(CASE WHEN a.source = b.source THEN 1.0"
+        "   WHEN upper(a.source) = b.source OR lower(a.source) = b.source"
+        "     THEN 0.85"
+        "   ELSE 0.85 * (1.0 - levenshtein(a.source, b.source)"
+        "     / CAST(length(b.source) AS DOUBLE)) END, 6) AS ed_score"
+        " FROM s a, s b WHERE a.source < b.source"
+    ),
+    "spot_eval_pr": (
+        f"WITH {_SPOT_CTE},"
+        f" gold AS (SELECT * FROM m WHERE sf IN {_GOLD_SQL}),"
+        " c AS (SELECT"
+        "   (SELECT count(*) FROM m JOIN gold g USING (doc_id, begin, sf))"
+        "     AS tp,"
+        "   (SELECT count(*) FROM m) AS np,"
+        "   (SELECT count(*) FROM gold) AS ng)"
+        " SELECT tp, np - tp AS fp, ng - tp AS fn,"
+        " round(tp / CAST(np AS DOUBLE), 6) AS precision,"
+        " round(tp / CAST(ng AS DOUBLE), 6) AS recall FROM c"
+    ),
+    "spans_passthrough": (
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
+        " CAST(0 AS INT) AS span_order, 'text' AS kind, text,"
+        " '' AS media_ref FROM documents"
+    ),
+    "er_clusters": (
+        f"WITH {_TOK_CTE}, {_PC_CTE}, {_BEST_CTE}, {_SPOT_CTE},"
+        " linked AS (SELECT m.doc_id, m.begin, b.uri,"
+        "   m.doc_id || ':' || CAST(m.begin AS VARCHAR) AS mention_key"
+        "   FROM m JOIN best b USING (sf)),"
+        " hubs AS (SELECT uri, min(mention_key) AS hub FROM linked"
+        "   GROUP BY uri)"
+        " SELECT l.mention_key, h.hub AS cluster_id, l.uri"
+        " FROM linked l JOIN hubs h ON h.uri = l.uri"
+    ),
+}
+
+QUERIES = {
+    "sf_normalize": q_sf_normalize,
+    "token_counts": q_token_counts,
+    "token_vocab": q_token_vocab,
+    "uri_counts": q_uri_counts,
+    "pair_counts": q_pair_counts,
+    "spot_exact_dict": q_spot_exact_dict,
+    "prior_disambiguation": q_prior_disambiguation,
+    "candidate_topk": q_candidate_topk,
+    "context_scores": q_context_scores,
+    "support_filter": q_support_filter,
+    "redirect_closure": q_redirect_closure,
+    "connected_components": q_connected_components,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash_pairs": q_simhash_pairs,       # rows-only (no SQL twin)
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,         # rows-only (no SQL twin)
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "fingerprints": q_fingerprints,
+    "jaro_winkler": q_jaro_winkler,
+    "edit_distance": q_edit_distance,
+    "spot_eval_pr": q_spot_eval_pr,
+    "spans_passthrough": q_spans_passthrough,
+    "er_clusters": q_er_clusters,
+}
