@@ -1,0 +1,154 @@
+"""Command-line entry point for spark-submit.
+
+Replaces the reference's REST service (rest/.../resources/*.java) with a
+batch CLI: params that were HTTP query args (confidence, support, types,
+policy — Annotate.java:57-66) become flags; each subcommand is one Spark
+job. Ship with:
+
+    python -m dbpedia_spotlight_spark.package dist/
+    spark-submit --py-files dist/dbpedia_spotlight_spark.zip \
+        dist/cli.py resolve --documents ... --model-dir ... --output ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from .config import PipelineParams
+from .session import get_spark
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    p.add_argument("--checkpoint-dir", default="")
+
+
+def _params(args) -> PipelineParams:
+    return PipelineParams(
+        confidence=getattr(args, "confidence", 0.0),
+        support=getattr(args, "support", 0),
+        type_whitelist=tuple(getattr(args, "types", []) or []),
+        uri_whitelist=tuple(getattr(args, "uris", []) or []),
+        coreference_resolution=not getattr(args, "no_coref", False),
+        shuffle_partitions=args.shuffle_partitions,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser("dbpedia-spotlight-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("model-build", help="aggregate statistics tables")
+    _add_common(b)
+    b.add_argument("--fixture-dir", required=True)
+    b.add_argument("--output", required=True)
+
+    a = sub.add_parser("annotate", help="spot + disambiguate documents")
+    _add_common(a)
+    a.add_argument("--documents", required=True)
+    a.add_argument("--model-dir", required=True)
+    a.add_argument("--output", required=True)
+    a.add_argument("--confidence", type=float, default=0.0)
+    a.add_argument("--support", type=int, default=0)
+    a.add_argument("--types", nargs="*")
+    a.add_argument("--uris", nargs="*")
+    a.add_argument("--no-coref", action="store_true")
+
+    r = sub.add_parser("resolve", help="full record-linkage run")
+    _add_common(r)
+    r.add_argument("--documents", required=True)
+    r.add_argument("--model-dir", required=True)
+    r.add_argument("--output", required=True)
+    r.add_argument("--confidence", type=float, default=0.0)
+    r.add_argument("--support", type=int, default=0)
+    r.add_argument("--no-coref", action="store_true")
+
+    args = ap.parse_args(argv)
+    spark = get_spark(
+        master=args.master, shuffle_partitions=args.shuffle_partitions
+    )
+
+    if args.cmd == "model-build":
+        from .plans.model_build import model_from_fixture_dir
+
+        model = model_from_fixture_dir(spark, args.fixture_dir)
+        for name in ("surface_form_stats", "resources", "candidate_map",
+                     "tokens", "context_counts"):
+            getattr(model, name).write.mode("overwrite").parquet(
+                f"{args.output}/{name}"
+            )
+        with open(f"{args.output}/totals.json", "w") as f:
+            json.dump(
+                {
+                    "total_annotated_count": model.total_annotated_count,
+                    "total_token_count": model.total_token_count,
+                    "vocab_size": model.vocab_size,
+                },
+                f,
+            )
+        print(json.dumps({"status": "ok", "output": args.output}))
+        return
+
+    model = _load_model(spark, args.model_dir)
+    stopwords = _load_stopwords(spark, args.model_dir)
+    docs = spark.read.parquet(args.documents)
+    params = _params(args)
+
+    if args.cmd == "annotate":
+        from .plans.pipeline import annotate
+
+        res = annotate(docs, model, stopwords, params)
+        res.resolved.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"status": "ok", "rows": res.resolved.count()}))
+    elif args.cmd == "resolve":
+        from .plans.pipeline import resolve
+        from .sources.checkpoint import CheckpointStore
+
+        store = (
+            CheckpointStore(spark, params.checkpoint_dir)
+            if params.checkpoint_dir
+            else None
+        )
+        res = resolve(docs, model, stopwords, params, store=store)
+        res.clusters.write.mode("overwrite").parquet(args.output)
+        print(
+            json.dumps(
+                {
+                    "status": "ok",
+                    "clusters": res.clusters.count(),
+                    "counters": res.counters,
+                }
+            )
+        )
+
+
+def _load_model(spark, model_dir: str):
+    from .plans.model_build import ModelTables
+
+    with open(f"{model_dir}/totals.json") as f:
+        totals = json.load(f)
+    rd = lambda n: spark.read.parquet(f"{model_dir}/{n}")
+    return ModelTables(
+        surface_form_stats=rd("surface_form_stats"),
+        resources=rd("resources"),
+        candidate_map=rd("candidate_map"),
+        tokens=rd("tokens"),
+        context_counts=rd("context_counts"),
+        **totals,
+    )
+
+
+def _load_stopwords(spark, model_dir: str) -> list[str]:
+    import os
+
+    path = f"{model_dir}/stopwords"
+    if os.path.exists(path):
+        return [r["word"] for r in spark.read.parquet(path).collect()]
+    return ["the", "an", "a", "of", "in"]
+
+
+if __name__ == "__main__":
+    main()

@@ -224,7 +224,10 @@ def generate(cfg: FixtureConfig | None = None) -> Fixture:
             kept.append(e)
         doc_entities = kept or [doc_entities[0]]
 
-        n_text = rng.randint(2, 8)
+        # every 10th doc is long enough to exceed MAX_CONTEXT=200 tokens,
+        # exercising the window-slicing path
+        # (DBTwoStepDisambiguator.scala:49-93)
+        n_text = rng.randint(14, 22) if d % 10 == 9 else rng.randint(2, 8)
         n_media = rng.randint(0, 3)
         span_kinds = ["text"] * n_text + ["media"] * n_media
         rng.shuffle(span_kinds)

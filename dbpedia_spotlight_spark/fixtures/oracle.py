@@ -208,9 +208,24 @@ class OracleModel:
         return sum(math.log(1 - LAMBDA) + self.p_lm(tid) for _t, tid in qtoks)
 
 
-def link_mentions(mentions, documents, model: OracleModel):
+def _assign_windows(span_token_counts: list[int], max_context: int) -> list[int]:
+    """Greedy accumulate-and-flush — independent twin of
+    operators/windows.assign_windows_py (DBTwoStepDisambiguator.scala:69-88)."""
+    out, window, running = [], 0, 0
+    for n in span_token_counts:
+        out.append(window)
+        running += n
+        if running >= max_context:
+            window += 1
+            running = 0
+    return out
+
+
+def link_mentions(mentions, documents, model: OracleModel,
+                  max_context: int = 200):
     """mention.key -> dict(uri, final_score, ctx_score, pct_second_rank);
-    uri is None for NIL (unlinked)."""
+    uri is None for NIL (unlinked). Long documents are sliced into
+    MAX_CONTEXT windows of whole spans (DBTwoStepDisambiguator.scala:49-93)."""
     docs = {r.doc_id: r.spans for r in documents.itertuples(index=False)}
     out = {}
     by_doc: dict[str, list[OracleMention]] = {}
@@ -221,25 +236,52 @@ def link_mentions(mentions, documents, model: OracleModel):
     ln_nil_pe = math.log(1.0 / stats.total_annotated_count)
 
     for doc_id, ms in by_doc.items():
-        doc_tokens = []
-        for span in docs[doc_id]:
-            if span["kind"] == "text":
-                doc_tokens.extend(tokenize_py(span["text"]))
-        qtoks = model.query_token_ids(doc_tokens)
-        nil_ctx = model.nil_context_score(qtoks)
-        nil_score = nil_ctx + ln_nil_pe
+        # window slicing over text spans
+        text_spans = [
+            (i, span) for i, span in enumerate(docs[doc_id])
+            if span["kind"] == "text"
+        ]
+        span_toks = {
+            i: [t for t in tokenize_py(span["text"])
+                if t not in model.stopwords]
+            for i, span in text_spans
+        }
+        total = sum(len(v) for v in span_toks.values())
+        if total < max_context:
+            win_of_span = {i: 0 for i, _ in text_spans}
+        else:
+            wins = _assign_windows(
+                [len(span_toks[i]) for i, _ in text_spans], max_context
+            )
+            win_of_span = {i: w for (i, _), w in zip(text_spans, wins)}
+        win_tokens: dict[int, list] = {}
+        for i, _span in text_spans:
+            win_tokens.setdefault(win_of_span[i], []).extend(span_toks[i])
 
-        # one context query per (doc, resource) — the reference's two-step
-        # collapse (DBTwoStepDisambiguator.scala:126-129)
-        ctx_cache: dict[int, float] = {}
+        qtoks_by_win = {
+            w: model.query_token_ids(toks) for w, toks in win_tokens.items()
+        }
+        nil_by_win = {
+            w: model.nil_context_score(q) for w, q in qtoks_by_win.items()
+        }
+
+        # one context query per (window, resource) — the reference's
+        # two-step collapse (DBTwoStepDisambiguator.scala:126-129)
+        ctx_cache: dict[tuple[int, int], float] = {}
 
         for m in ms:
+            win = win_of_span.get(m.span_idx, 0)
+            qtoks = qtoks_by_win.get(win, [])
+            nil_ctx = nil_by_win.get(win, 0.0)
+            nil_score = nil_ctx + ln_nil_pe
             scored = []
             for sf_row, cm in model.candidates(m.sf):
                 res = model.res_by_id[cm.res_id]
-                if cm.res_id not in ctx_cache:
-                    ctx_cache[cm.res_id] = model.context_score(qtoks, cm.res_id)
-                ctx = ctx_cache[cm.res_id]
+                if (win, cm.res_id) not in ctx_cache:
+                    ctx_cache[(win, cm.res_id)] = model.context_score(
+                        qtoks, cm.res_id
+                    )
+                ctx = ctx_cache[(win, cm.res_id)]
                 p_se = math.log(cm.pair_count / sf_row.annotated_count)
                 p_e = math.log(res.prior)
                 score = p_se + ctx + p_e

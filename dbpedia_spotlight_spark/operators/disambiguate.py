@@ -43,9 +43,14 @@ def disambiguate(
     """
     ln_nil_pe = math.log(1.0 / model.total_annotated_count)
 
+    keys = (
+        ["doc_id", "window_id"]
+        if "window_id" in mention_candidates.columns
+        else ["doc_id"]
+    )
     scored = (
-        mention_candidates.join(ctx_scores, ["doc_id", "res_id"], "left")
-        .join(nil_scores, "doc_id", "left")
+        mention_candidates.join(ctx_scores, keys + ["res_id"], "left")
+        .join(nil_scores, keys, "left")
         .withColumn(
             "raw_score",
             F.log("cand_prior") + F.col("ctx_score") + F.log("res_prior"),

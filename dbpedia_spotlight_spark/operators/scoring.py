@@ -35,9 +35,10 @@ def _lnsum(a, b):
 
 
 def doc_token_stats(
-    doc_tokens: DataFrame, model: ModelTables
+    doc_tokens: DataFrame, model: ModelTables,
+    keys: list[str] = ("doc_id",),
 ) -> DataFrame:
-    """(doc_id, query_tokens) -> exploded (doc_id, token, token_id, p_lm).
+    """(*keys, query_tokens) -> exploded (*keys, token, token_id, p_lm).
 
     Unknown tokens keep a NULL token_id and corpus count 0 — they still
     contribute their LM term, exactly like the UNKNOWN sentinel
@@ -45,14 +46,14 @@ def doc_token_stats(
     """
     ln_norm = math.log(model.total_token_count + model.vocab_size)
     exploded = doc_tokens.select(
-        "doc_id", F.explode("query_tokens").alias("token")
+        *keys, F.explode("query_tokens").alias("token")
     )
     return exploded.join(
         F.broadcast(model.tokens.select("token", "token_id", "count")),
         "token",
         "left",
     ).select(
-        "doc_id",
+        *keys,
         "token",
         "token_id",
         (F.log(F.coalesce(F.col("count"), F.lit(0)) + 1.0) - ln_norm).alias(
@@ -66,22 +67,29 @@ def context_scores(
     doc_tokens: DataFrame,
     model: ModelTables,
     params: PipelineParams = DEFAULT_PARAMS,
+    keys: list[str] = ("doc_id",),
 ) -> tuple[DataFrame, DataFrame]:
-    """Returns (ctx_scores(doc_id, res_id, ctx_score),
-                nil_scores(doc_id, nil_ctx_score))."""
+    """Returns (ctx_scores(*keys, res_id, ctx_score),
+                nil_scores(*keys, nil_ctx_score)).
+
+    `keys` is (doc_id,) for whole-document context or
+    (doc_id, window_id) for MAX_CONTEXT window slicing."""
+    keys = list(keys)
     lam = params.smoothing_lambda
     ln_lam = math.log(lam)
     ln_1mlam = math.log(1.0 - lam)
 
-    tok = doc_token_stats(doc_tokens, model)
+    tok = doc_token_stats(doc_tokens, model, keys)
 
-    # NIL context score per doc (GenerativeContextSimilarity.scala:99-105)
-    nil_scores = tok.groupBy("doc_id").agg(
+    # NIL context score per context unit
+    # (GenerativeContextSimilarity.scala:99-105)
+    nil_scores = tok.groupBy(*keys).agg(
         F.sum(F.lit(ln_1mlam) + F.col("p_lm")).alias("nil_ctx_score")
     )
 
-    # candidate resources per doc, deduplicated BEFORE the token fan-out
-    doc_res = mention_candidates.select("doc_id", "res_id").distinct()
+    # candidate resources per context unit, deduplicated BEFORE the
+    # token fan-out
+    doc_res = mention_candidates.select(*keys, "res_id").distinct()
 
     # per-resource context totals c(·,e)
     res_totals = model.context_counts.groupBy("res_id").agg(
@@ -89,7 +97,7 @@ def context_scores(
     )
 
     pairs = (
-        tok.join(doc_res, "doc_id")
+        tok.join(doc_res, keys)
         .join(
             F.broadcast(model.context_counts),
             ["res_id", "token_id"],
@@ -111,8 +119,8 @@ def context_scores(
     p_token = F.when(ml_ok, _lnsum(lm_term, ml_term)).otherwise(lm_term)
 
     ctx = pairs.select(
-        "doc_id", "res_id", p_token.alias("p_token")
-    ).groupBy("doc_id", "res_id").agg(
+        *keys, "res_id", p_token.alias("p_token")
+    ).groupBy(*keys, "res_id").agg(
         F.sum("p_token").alias("ctx_score")
     )
     return ctx, nil_scores

@@ -1,0 +1,123 @@
+"""Evaluation harness (SURVEY.md §5).
+
+Spark recast of the reference's corpus evaluators:
+  * disambiguation accuracy / MRR / not-found rate —
+    eval/.../EvaluateParagraphDisambiguator.scala:44-114 (rank of the
+    gold URI within bestK; accuracy = rank-1 fraction :97-99)
+  * spotting precision/recall — eval/.../EvalSpotter.scala:76-135
+    (gold vs predicted occurrence sets, membership by
+    (doc, offset, sf) — SurfaceFormOccurrence.equals semantics)
+  * prior-only baseline — eval/.../DBBaselineDisambiguator.scala:16-30
+  * pairwise precision/recall/F1 on labeled pairs at shared blocking
+    keys (BASELINE.json metric)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def spotting_pr(predicted: DataFrame, gold: DataFrame) -> dict:
+    """EvalSpotter semantics: sets keyed by (doc_id, begin/offset, sf)."""
+    p = predicted.select("doc_id", F.col("begin").alias("offset"), "sf")
+    g = gold.select("doc_id", "offset", "sf")
+    tp = p.join(g, ["doc_id", "offset", "sf"], "left_semi").count()
+    n_pred, n_gold = p.count(), g.count()
+    return {
+        "tp": tp,
+        "fp": n_pred - tp,
+        "fn": n_gold - tp,
+        "precision": tp / n_pred if n_pred else 0.0,
+        "recall": tp / n_gold if n_gold else 0.0,
+    }
+
+
+def disambiguation_metrics(
+    scored: DataFrame, gold: DataFrame, k: int = 20
+) -> dict:
+    """Accuracy / MRR / not-found over ranked candidates vs gold URIs.
+
+    `scored` = operators/disambiguate output (ranked candidate rows);
+    `gold` = (doc_id, offset, uri). A gold occurrence whose URI never
+    appears in the mention's bestK counts as not-found
+    (EvaluateParagraphDisambiguator.scala:97)."""
+    mention_gold = gold.select(
+        F.concat_ws(":", "doc_id", F.col("offset").cast("string")).alias(
+            "mention_key"
+        ),
+        F.col("uri").alias("gold_uri"),
+    )
+    ranked = scored.filter(F.col("rank") <= k).select(
+        "mention_key", "uri", "rank"
+    )
+    joined = mention_gold.join(ranked, "mention_key", "left")
+    hits = joined.filter(F.col("uri") == F.col("gold_uri")).select(
+        "mention_key", "rank"
+    )
+    agg = hits.agg(
+        F.count("*").alias("found"),
+        F.sum(1.0 / F.col("rank")).alias("rr_sum"),
+        F.sum(F.when(F.col("rank") == 1, 1).otherwise(0)).alias("rank1"),
+    ).collect()[0]
+    n_gold = mention_gold.count()
+    found = int(agg["found"] or 0)
+    return {
+        "n_gold": n_gold,
+        "accuracy": (agg["rank1"] or 0) / n_gold if n_gold else 0.0,
+        "mrr": (agg["rr_sum"] or 0.0) / n_gold if n_gold else 0.0,
+        "not_found_rate": (n_gold - found) / n_gold if n_gold else 0.0,
+    }
+
+
+def prior_only_baseline(mention_candidates: DataFrame) -> DataFrame:
+    """argmax candidate by prior P(e|s) (DBBaselineDisambiguator.scala:16-30)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("mention_key").orderBy(
+        F.desc("cand_prior"), F.asc("uri"), F.asc("cand_sf")
+    )
+    return (
+        mention_candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def pairwise_prf(clusters: DataFrame, eval_pairs: DataFrame) -> dict:
+    """Pairwise P/R/F1 on labeled pairs at shared blocking keys
+    (BASELINE.json metric). `clusters` = (mention_key, cluster_id)."""
+    ca = clusters.select(
+        F.col("mention_key").alias("mention_a"),
+        F.col("cluster_id").alias("cluster_a"),
+    )
+    cb = clusters.select(
+        F.col("mention_key").alias("mention_b"),
+        F.col("cluster_id").alias("cluster_b"),
+    )
+    joined = (
+        eval_pairs.join(ca, "mention_a", "left")
+        .join(cb, "mention_b", "left")
+        .withColumn(
+            "pred_same",
+            F.col("cluster_a").isNotNull()
+            & (F.col("cluster_a") == F.col("cluster_b")),
+        )
+    )
+    agg = joined.agg(
+        F.sum(
+            F.when(F.col("pred_same") & F.col("same_entity"), 1).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(F.col("pred_same") & ~F.col("same_entity"), 1).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when(~F.col("pred_same") & F.col("same_entity"), 1).otherwise(0)
+        ).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = int(agg["tp"] or 0), int(agg["fp"] or 0), int(agg["fn"] or 0)
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn, "precision": p, "recall": r,
+            "f1": f1}

@@ -25,7 +25,6 @@ from ..operators.scoring import context_scores
 from ..operators.spotting import (
     broadcast_automaton,
     build_automaton,
-    doc_token_arrays,
     spot_documents,
 )
 from .model_build import ModelTables
@@ -53,12 +52,20 @@ def annotate(
         )
         automaton_bc = broadcast_automaton(spark, automaton)
 
+    from ..operators.windows import window_token_arrays
+
+    win_tokens, span_map = window_token_arrays(
+        documents, stopwords, params.max_context
+    )
     mentions = with_mention_key(
         spot_documents(documents, automaton_bc, params)
+    ).join(span_map, ["doc_id", "span_idx"], "left").fillna(
+        {"window_id": 0}
     )
     cands = generate_candidates(mentions, model, params)
-    doc_tokens = doc_token_arrays(documents, stopwords)
-    ctx, nil = context_scores(cands, doc_tokens, model, params)
+    ctx, nil = context_scores(
+        cands, win_tokens, model, params, keys=("doc_id", "window_id")
+    )
     scored = D.disambiguate(cands, ctx, nil, model, params)
     resolved = D.resolve_all_mentions(mentions, scored)
     return AnnotateResult(
