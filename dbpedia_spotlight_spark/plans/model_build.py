@@ -44,6 +44,17 @@ class ModelTables:
     total_token_count: int
     vocab_size: int
 
+    def persist(self) -> "ModelTables":
+        """Cache every dimension table. The pipeline references each table
+        from several joins; without caching, Catalyst re-expands the whole
+        aggregation DAG at every reference (measured: 90 parquet scans in
+        one annotate plan). The reference's analog is loading the stores
+        into memory once (db/SpotlightModel.scala:36-62)."""
+        for name in ("surface_form_stats", "resources", "candidate_map",
+                     "tokens", "context_counts"):
+            getattr(self, name).cache()
+        return self
+
 
 def _dense_id(df: DataFrame, order_col: str, id_col: str) -> DataFrame:
     w = Window.orderBy(order_col)
@@ -163,10 +174,11 @@ def build_model(
     )
 
 
-def model_from_fixture_dir(spark: SparkSession, fixture_dir: str) -> ModelTables:
+def model_from_fixture_dir(spark: SparkSession, fixture_dir: str,
+                           persist: bool = True) -> ModelTables:
     """Build the model tables from a generated fixture parquet directory."""
     rd = lambda name: spark.read.parquet(f"{fixture_dir}/{name}.parquet")
-    return build_model(
+    model = build_model(
         training=rd("training_occurrences"),
         redirects=rd("redirects"),
         disambiguation_pages=rd("disambiguation_pages"),
@@ -174,3 +186,4 @@ def model_from_fixture_dir(spark: SparkSession, fixture_dir: str) -> ModelTables
         lowercase_counts=rd("lowercase_counts"),
         stopwords=rd("stopwords"),
     )
+    return model.persist() if persist else model

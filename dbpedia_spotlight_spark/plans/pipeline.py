@@ -57,11 +57,14 @@ def annotate(
     win_tokens, span_map = window_token_arrays(
         documents, stopwords, params.max_context
     )
+    # mentions (a pandas-UDF scan) and span_map (an applyInPandas for long
+    # docs) are each referenced by several downstream joins — cache them
+    # or Catalyst re-runs the Python stages per reference
     mentions = with_mention_key(
         spot_documents(documents, automaton_bc, params)
-    ).join(span_map, ["doc_id", "span_idx"], "left").fillna(
+    ).join(span_map.cache(), ["doc_id", "span_idx"], "left").fillna(
         {"window_id": 0}
-    )
+    ).cache()
     cands = generate_candidates(mentions, model, params)
     ctx, nil = context_scores(
         cands, win_tokens, model, params, keys=("doc_id", "window_id")
