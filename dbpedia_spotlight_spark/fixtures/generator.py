@@ -69,6 +69,7 @@ class Entity:
     aliases: list[str]          # extra surface forms (incl. shared ones)
     topic: list[str]
     popularity: float
+    types: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -80,6 +81,7 @@ class Fixture:
     training_occurrences: pd.DataFrame
     unlinked_counts: pd.DataFrame
     lowercase_counts: pd.DataFrame
+    instance_types: pd.DataFrame
     redirects: pd.DataFrame
     disambiguation_pages: pd.DataFrame
     stopwords: pd.DataFrame
@@ -127,6 +129,16 @@ def _make_entities(rng: random.Random, cfg: FixtureConfig,
         if head not in target.aliases and head != target.canonical:
             target.aliases.append(head)
 
+    # Ontology types (model/OntologyType.scala namespace convention):
+    # round-robin over a small set, ~20% untyped (UNKNOWN policy case)
+    type_pool = ["DBpedia:Person", "DBpedia:Place", "DBpedia:Organisation",
+                 "Schema:Thing"]
+    for i, e in enumerate(entities):
+        if i % 5 != 4:
+            e.types = [type_pool[i % len(type_pool)]]
+            if i % 7 == 0:
+                e.types.append(type_pool[(i + 1) % len(type_pool)])
+
     # Shared ambiguous aliases: one alias string -> 2-5 entities.
     for k in range(cfg.n_ambiguous_aliases):
         alias = _word(rng, _CONS_B, 3).capitalize()
@@ -164,6 +176,10 @@ def generate(cfg: FixtureConfig | None = None) -> Fixture:
     redirect_srcs = [r[0] for r in redirect_rows if r[0].startswith("Old_")]
 
     disambig_rows = [f"{e.uri}_(disambiguation)" for e in entities[:5]]
+
+    # instance_types.nt analog (exploded triples):
+    # WikipediaToDBpediaClosure / DBpediaResourceSource.scala:145
+    type_rows = [(e.uri, t) for e in entities for t in e.types]
 
     # ---- training corpus: one row per link occurrence
     train_rows = []
@@ -328,6 +344,7 @@ def generate(cfg: FixtureConfig | None = None) -> Fixture:
         training_occurrences=training,
         unlinked_counts=unlinked,
         lowercase_counts=lowercase,
+        instance_types=pd.DataFrame(type_rows, columns=["uri", "type"]),
         redirects=pd.DataFrame(redirect_rows, columns=["src_uri", "dst_uri"]),
         disambiguation_pages=pd.DataFrame({"uri": disambig_rows}),
         stopwords=pd.DataFrame({"word": STOPWORDS}),
@@ -371,6 +388,7 @@ def write_parquet(fx: Fixture, out_dir: str) -> None:
         ("training_occurrences", fx.training_occurrences),
         ("unlinked_counts", fx.unlinked_counts),
         ("lowercase_counts", fx.lowercase_counts),
+        ("instance_types", fx.instance_types),
         ("redirects", fx.redirects),
         ("disambiguation_pages", fx.disambiguation_pages),
         ("stopwords", fx.stopwords),

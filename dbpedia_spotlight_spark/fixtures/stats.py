@@ -92,10 +92,14 @@ def build_stats(fx: Fixture) -> StatsTables:
     kept_uris = sorted(uri_counts)
     res_id = {u: i for i, u in enumerate(kept_uris)}
     total_support = sum(uri_counts.values())
+    types_by_uri: dict[str, list[str]] = {}
+    for r in fx.instance_types.itertuples(index=False):
+        types_by_uri.setdefault(r.uri, []).append(r.type)
     resources = pd.DataFrame(
         [
             (res_id[u], u, int(uri_counts[u]),
-             uri_counts[u] / total_support, [])
+             uri_counts[u] / total_support,
+             sorted(types_by_uri.get(u, [])))
             for u in kept_uris
         ],
         columns=["res_id", "uri", "support", "prior", "types"],

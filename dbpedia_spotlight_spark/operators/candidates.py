@@ -98,7 +98,7 @@ def generate_candidates(
         .join(
             F.broadcast(
                 resources.select(
-                    "res_id", "uri", "support",
+                    "res_id", "uri", "support", "types",
                     F.col("prior").alias("res_prior"),
                 )
             ),

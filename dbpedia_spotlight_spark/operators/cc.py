@@ -84,6 +84,10 @@ def connected_components(
     cur = edges.select("src", "dst").filter(
         F.col("src") != F.col("dst")
     ).distinct()
+    if store is None:
+        # materialize the input once — the signature check plus the first
+        # iteration otherwise recompute the upstream edge derivation 3x
+        cur = cur.localCheckpoint()
 
     start_step = 0
     if store is not None:
@@ -98,6 +102,10 @@ def connected_components(
 
     prev_sig = _signature(cur)
     for it in range(start_step + 1, max_iterations + 1):
+        # exactly ONE large+small star pair per materialization: each star
+        # references its input ~5x, so composing stars without a
+        # materialization boundary grows the logical plan ~5^k and melts
+        # the analyzer (measured: 2.8M AttributeReferences at k=4)
         nxt = _small_star(_large_star(cur))
         if store is not None:
             nxt = store.write(

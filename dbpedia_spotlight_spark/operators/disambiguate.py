@@ -96,7 +96,7 @@ def disambiguate(
 
     return out.select(
         "mention_key", "doc_id", "begin", "end", "sf", "uri", "res_id",
-        "support", "cand_sf",
+        "support", "types", "cand_sf",
         F.col("final_score"),
         F.col("ctx_score_norm").alias("ctx_score"),
         "pct_second_rank", "rank", "raw_score", "nil_score",

@@ -68,6 +68,7 @@ def build_model(
     unlinked_counts: DataFrame,
     lowercase_counts: DataFrame,
     stopwords: DataFrame,
+    instance_types: DataFrame | None = None,
 ) -> ModelTables:
     spark = training.sparkSession
 
@@ -115,12 +116,26 @@ def build_model(
     # 4. uriCounts -> resources with global prior P(e)
     uri_counts = occs.groupBy("uri").agg(F.count("*").alias("support"))
     total_support = uri_counts.agg(F.sum("support")).collect()[0][0]
+    if instance_types is not None:
+        type_lists = instance_types.groupBy("uri").agg(
+            F.array_sort(F.collect_set("type")).alias("types")
+        )
+        uri_counts = uri_counts.join(
+            F.broadcast(type_lists), "uri", "left"
+        ).withColumn(
+            "types",
+            F.coalesce(F.col("types"), F.array().cast("array<string>")),
+        )
+    else:
+        uri_counts = uri_counts.withColumn(
+            "types", F.array().cast("array<string>")
+        )
     resources = _dense_id(uri_counts, "uri", "res_id").select(
         "res_id",
         "uri",
         F.col("support").cast("long").alias("support"),
         (F.col("support") / F.lit(float(total_support))).alias("prior"),
-        F.array().cast("array<string>").alias("types"),
+        "types",
     )
 
     # 5. candidate map keyed by ids
@@ -185,5 +200,6 @@ def model_from_fixture_dir(spark: SparkSession, fixture_dir: str,
         unlinked_counts=rd("unlinked_counts"),
         lowercase_counts=rd("lowercase_counts"),
         stopwords=rd("stopwords"),
+        instance_types=rd("instance_types"),
     )
     return model.persist() if persist else model

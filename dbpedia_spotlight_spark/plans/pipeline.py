@@ -131,6 +131,11 @@ def resolve(
         return res
 
     resolved = ck("resolved", _resolved, lineage=["mentions", "scored"])
+    if store is None:
+        # blocking counters, edges, and every CC superstep re-derive
+        # `resolved` — without a checkpoint store, cache it or the whole
+        # annotate+coref chain re-runs once per downstream action
+        resolved = resolved.cache()
 
     # blocking counters (skew accounting for the manifest; the
     # reference-faithful edge set itself is linear in mentions)

@@ -98,3 +98,36 @@ def read_pair_counts_tsv(spark: SparkSession, path: str) -> DataFrame:
         path, sep="\t", schema="sf string, uri string, pair_count long",
         header=False, quote="",
     )
+
+
+def read_wortschatz_words(
+    spark: SparkSession, path: str, min_count: int = 100
+) -> DataFrame:
+    """Wortschatz frequency list `rank\\tword\\tcount` -> common words with
+    count > threshold (io/WortschatzParser.scala, used by
+    spot/NonCommonWordSelector.scala:23-68)."""
+    raw = spark.read.csv(
+        path, sep="\t", schema="rank int, word string, count long",
+        header=False, quote="",
+    )
+    return raw.filter(F.col("count") > min_count).select("word")
+
+
+def to_annotated_output(resolved: DataFrame) -> DataFrame:
+    """Per-document annotation view — the batch analog of the REST JSON
+    output (rest/.../OutputManager.java:53+): one row per doc with the
+    offset-sorted resource list."""
+    linked = resolved.filter(F.col("uri").isNotNull())
+    return linked.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("begin").alias("offset"),
+                    F.col("sf").alias("surfaceForm"),
+                    F.col("uri").alias("URI"),
+                    F.col("final_score").alias("similarityScore"),
+                    F.col("pct_second_rank").alias("percentageOfSecondRank"),
+                )
+            )
+        ).alias("Resources")
+    )

@@ -17,9 +17,30 @@ FIXTURE_DIR = "/tmp/spotlight_fixtures/n200"
 def spark():
     from dbpedia_spotlight_spark.session import get_spark
 
-    s = get_spark(master="local[4]", shuffle_partitions=8,
-                  extra_conf={"spark.driver.memory": "4g"})
+    s = get_spark(
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.driver.memory": "12g",
+            # caches/localCheckpoints accumulate across the session-scoped
+            # SparkSession; periodic GC lets the ContextCleaner drop them
+            "spark.cleaner.periodicGC.interval": "1min",
+        },
+    )
     yield s
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_spark_cache():
+    """Drop cached DataFrames between test modules — annotate()/resolve()
+    cache intermediates per call, and a dozen pipeline runs in one JVM
+    otherwise fill the old gen and stall the suite in full GCs."""
+    yield
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.catalog.clearCache()
 
 
 @pytest.fixture(scope="session")

@@ -33,6 +33,15 @@ def test_resources(model, stats):
         stats.resources.drop(columns=["types"]),
         ["res_id"],
     )
+    got = {
+        r["uri"]: list(r["types"]) for r in model.resources.collect()
+    }
+    want = {
+        r.uri: list(r.types) for r in stats.resources.itertuples(index=False)
+    }
+    assert got == want
+    assert any(got.values()), "expected some typed resources"
+    assert any(not v for v in got.values()), "expected some untyped"
 
 
 def test_candidate_map(model, stats):

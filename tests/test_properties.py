@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dbpedia_spotlight_spark.functions.mathutil import logsumexp
+from dbpedia_spotlight_spark.functions.normalize import sf_normalize_py
+from dbpedia_spotlight_spark.functions.similarity import (
+    _levenshtein,
+    jaro_winkler_py,
+)
+from dbpedia_spotlight_spark.operators.ahocorasick import (
+    AhoCorasick,
+    is_boundary,
+    spot_text,
+)
+from dbpedia_spotlight_spark.operators.redirects import close_redirects
+
+words = st.text(alphabet="abcxyz", min_size=1, max_size=6)
+texts = st.text(alphabet="abcxyz ,.()-", min_size=0, max_size=80)
+
+
+@given(st.lists(words, min_size=1, max_size=8), texts)
+@settings(max_examples=200, deadline=None)
+def test_ac_spots_are_word_bounded_and_disjoint(patterns, text):
+    ac = AhoCorasick(patterns)
+    spots = spot_text(ac, text)
+    prev_end = -1
+    for start, ln in spots:
+        assert text[start : start + ln].lower() in {p.lower() for p in patterns}
+        assert start == 0 or is_boundary(text[start - 1])
+        end = start + ln
+        assert end >= len(text) or is_boundary(text[end])
+        assert start > prev_end
+        prev_end = end
+
+
+@given(st.lists(words, min_size=1, max_size=5), texts)
+@settings(max_examples=100, deadline=None)
+def test_ac_overlap_superset_of_filtered(patterns, text):
+    ac = AhoCorasick(patterns)
+    assert set(spot_text(ac, text)) <= set(spot_text(ac, text, overlap=True))
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_sf_normalize_idempotent(s):
+    assert sf_normalize_py(sf_normalize_py(s)) == sf_normalize_py(s)
+
+
+@given(words, words)
+@settings(max_examples=200, deadline=None)
+def test_jw_symmetric_and_bounded(a, b):
+    assert jaro_winkler_py(a, b) == jaro_winkler_py(b, a)
+    assert 0.0 <= jaro_winkler_py(a, b) <= 1.0
+    assert jaro_winkler_py(a, a) == 1.0
+
+
+@given(words, words, words)
+@settings(max_examples=100, deadline=None)
+def test_levenshtein_triangle(a, b, c):
+    assert _levenshtein(a, c) <= _levenshtein(a, b) + _levenshtein(b, c)
+    assert _levenshtein(a, b) == _levenshtein(b, a)
+
+
+@given(st.dictionaries(words, words, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_redirect_closure_is_fixpoint(pairs):
+    closed = close_redirects(pairs)
+    for src, final in closed.items():
+        # final is terminal (no outgoing redirect) or a cycle representative
+        assert final not in pairs or closed.get(final) == final
+
+
+@given(st.lists(st.floats(min_value=-50, max_value=50), min_size=1,
+                max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_logsumexp_dominates_max(xs):
+    import math
+
+    lse = logsumexp(xs)
+    assert lse >= max(xs) - 1e-12
+    assert lse <= max(xs) + math.log(len(xs)) + 1e-12
