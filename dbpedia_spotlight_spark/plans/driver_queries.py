@@ -412,7 +412,7 @@ def q_er_clusters(spark, sf_dir):
     linked = q_prior_disambiguation(spark, sf_dir).withColumn(
         "mention_key",
         F.concat_ws(":", F.col("doc_id"), F.col("begin")),
-    )
+    ).cache()  # referenced by hubs, the edge join, and the final output
     edges = edges_from_resolution(linked)
     cc = connected_components(edges)
     return (

@@ -123,7 +123,7 @@ def test_cc_matches_union_find_on_random_graphs(spark, seed):
     edf = spark.createDataFrame(edges, "src string, dst string")
     got = {
         r["mention_key"]: r["cluster_id"]
-        for r in connected_components(edf).collect()
+        for r in connected_components(edf, force_distributed=True).collect()
     }
     # CC omits isolated nodes; compare on nodes that have an edge
     touched = {n for e in edges for n in e if want[n] != n or any(
@@ -138,9 +138,25 @@ def test_cc_long_chain(spark):
     nodes = [f"c{i:02d}" for i in range(40)]
     edges = [(nodes[i], nodes[i + 1]) for i in range(39)]
     edf = spark.createDataFrame(edges, "src string, dst string")
-    got = connected_components(edf).collect()
+    got = connected_components(edf, force_distributed=True).collect()
     assert {r["cluster_id"] for r in got} == {"c00"}
     assert {r["mention_key"] for r in got} == set(nodes)
+
+
+def test_driver_and_distributed_cc_agree(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(80)]
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(60)]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    fast = {
+        (r["mention_key"], r["cluster_id"])
+        for r in connected_components(edf).collect()
+    }
+    dist = {
+        (r["mention_key"], r["cluster_id"])
+        for r in connected_components(edf, force_distributed=True).collect()
+    }
+    assert fast == dist
 
 
 def test_cluster_assignments_singletons(spark):
