@@ -65,6 +65,69 @@ def spot_score_filter(
     )
 
 
+_OVERLAP_SCHEMA = (
+    "mention_key string, doc_id string, begin int, sf string,"
+    " spot_prob double, spot_type string"
+)
+
+
+def drop_overlapping_spots(
+    spots: "DataFrame", type_order: tuple[str, ...] = ("ac",)
+) -> "DataFrame":
+    """Overlap conflict resolution (db/DBSpotter.scala:170-221): sort by
+    (offset, length); for each intersecting pair prefer the longer spot
+    unless the shorter is >2x more probable, break probability ties by
+    spotter-type order. Sequential per document -> grouped applyInPandas
+    (never parallelize within a doc — SURVEY.md §4 hard parts)."""
+    import pandas as pd
+
+    order = {t: i for i, t in enumerate(type_order)}
+
+    def resolve_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf.sort_values(
+            ["begin", "sf"], key=None
+        ).assign(_len=pdf["sf"].str.len())
+        rows = rows.sort_values(["begin", "_len"]).reset_index(drop=True)
+        remove: set[int] = set()
+        last = None  # (index, begin, end, prob, type)
+        for i in range(len(rows)):
+            b = int(rows.at[i, "begin"])
+            ln = int(rows.at[i, "_len"])
+            e = b + ln
+            prob = float(rows.at[i, "spot_prob"])
+            typ = rows.at[i, "spot_type"]
+            if last is not None and b < last[2] and e > last[1]:
+                li, lb, le, lp, lt = last
+                longer = ln > (le - lb)
+                better_type = order.get(typ, 99) < order.get(lt, 99)
+                if longer and prob > lp / 2.0:
+                    remove.add(li)
+                    last = (i, b, e, prob, typ)
+                elif not longer and not (prob > lp * 2.0):
+                    remove.add(i)
+                elif prob == lp and better_type:
+                    remove.add(li)
+                    last = (i, b, e, prob, typ)
+                elif prob == lp and not better_type:
+                    remove.add(i)
+                elif prob > lp:
+                    remove.add(li)
+                    last = (i, b, e, prob, typ)
+                else:
+                    remove.add(i)
+            else:
+                last = (i, b, e, prob, typ)
+        keep = rows.drop(index=list(remove)).drop(columns=["_len"])
+        return keep
+
+    cols = [c.split(" ")[0] for c in _OVERLAP_SCHEMA.split(", ")]
+    return (
+        spots.select(*cols)
+        .groupBy("doc_id")
+        .applyInPandas(lambda _k, pdf: resolve_doc(pdf), _OVERLAP_SCHEMA)
+    )
+
+
 def narrow_context(
     doc_tokens: DataFrame,
     mentions: DataFrame,

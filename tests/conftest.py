@@ -25,6 +25,7 @@ def spark():
             # caches/localCheckpoints accumulate across the session-scoped
             # SparkSession; periodic GC lets the ContextCleaner drop them
             "spark.cleaner.periodicGC.interval": "1min",
+            "spark.sql.warehouse.dir": "/tmp/spark-warehouse-test",
         },
     )
     yield s
