@@ -143,4 +143,8 @@ def apply_result_filters(
         out = uri_whitelist_filter(out, params.uri_whitelist)
     if params.drop_list_of_pages:
         out = junk_filter(out)
-    return out.orderBy("doc_id", "begin")
+    # the reference's final offset sort (AnnotationFilter.scala:85) is
+    # per-document; a global orderBy would be a full shuffle sort at
+    # corpus scale for no consumer — per-doc ordering is applied where a
+    # doc-level view is built (corpora.to_annotated_output's sort_array)
+    return out

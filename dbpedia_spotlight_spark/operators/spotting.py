@@ -33,8 +33,11 @@ MENTIONS_SCHEMA = (
     "doc_id string, span_idx int, begin int, end int, sf string"
 )
 
-# per-python-worker automaton cache: broadcast-id -> AhoCorasick
-_AUTOMATON_CACHE: dict[int, AhoCorasick] = {}
+# per-python-worker automaton cache. Keyed by id() of the Broadcast
+# object, with the Broadcast kept in the value tuple so the id cannot be
+# recycled by GC while the entry lives (id() alone could collide after
+# the original broadcast is collected in a long-lived worker).
+_AUTOMATON_CACHE: dict[int, tuple[object, AhoCorasick]] = {}
 
 
 def build_automaton(
@@ -66,10 +69,11 @@ def spot_documents(
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         key = id(automaton_bc)
-        ac = _AUTOMATON_CACHE.get(key)
-        if ac is None:
-            ac = automaton_bc.value
-            _AUTOMATON_CACHE[key] = ac
+        entry = _AUTOMATON_CACHE.get(key)
+        if entry is None or entry[0] is not automaton_bc:
+            entry = (automaton_bc, automaton_bc.value)
+            _AUTOMATON_CACHE[key] = entry
+        ac = entry[1]
         for pdf in batches:
             rows = {"doc_id": [], "span_idx": [], "begin": [],
                     "end": [], "sf": []}
