@@ -93,6 +93,93 @@ def lsh_bucket_udf(planes_bc):
     return bucket
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate self top-k: partition vectors into inverted
+    lists around sampled centroids (deterministic seed), probe the
+    n_probe nearest lists per query, exact-cosine rerank inside probes.
+
+    The scale path alongside sign-LSH: at 10^12 rows each list is a
+    partition-pruned slice; centroid assignment is one Arrow-batched
+    matrix product per batch.
+    """
+    spark = corpus.sparkSession
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # deterministic centroid sample: first n_lists ids in xxhash order
+    cents = (
+        base.withColumn("_h", F.xxhash64(F.col("_id") + F.lit(seed)))
+        .orderBy("_h")
+        .limit(n_lists)
+        .collect()
+    )
+    cmat = np.array([r["v"] for r in cents])  # (n_lists, dim)
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    cents_bc = spark.sparkContext.broadcast(cmat)
+
+    def assign_udf(n: int):
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, IntegerType
+
+        @pandas_udf(ArrayType(IntegerType()))
+        def assign(vectors: pd.Series) -> pd.Series:
+            c = cents_bc.value
+            mat = np.stack(vectors.to_numpy())
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                               1e-12)
+            sims = (mat / norms) @ c.T  # (batch, n_lists)
+            top = np.argsort(-sims, axis=1)[:, :n]
+            return pd.Series([row.astype("int32").tolist() for row in top])
+
+        return assign
+
+    # corpus side: each vector lives in its single nearest list
+    listed = base.withColumn(
+        "lists", assign_udf(1)(F.col("v"))
+    ).select("_id", "v", F.explode("lists").alias("list_id"))
+    # query side: probe the n_probe nearest lists
+    probes = base.withColumn(
+        "lists", assign_udf(n_probe)(F.col("v"))
+    ).select(
+        F.col("_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode("lists").alias("list_id"),
+    )
+    scored = (
+        probes.join(
+            listed.select(
+                F.col("_id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                "list_id",
+            ),
+            "list_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     k: int = 10,

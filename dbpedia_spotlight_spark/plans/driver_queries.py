@@ -404,6 +404,40 @@ def q_spans_passthrough(spark, sf_dir):
     )
 
 
+def q_events_windowed(spark, sf_dir):
+    """Tumbling time-window aggregation over the events table — the
+    batch form of the engine's streaming windowed aggregates."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_format(
+            F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+def q_confidence_thresholds(spark, sf_dir):
+    """simThresholds fitting (ConfidenceFilter.scala:49): equal-frequency
+    quantiles of the candidate-prior score distribution."""
+    pc = q_pair_counts(spark, sf_dir)
+    ann = pc.groupBy("sf").agg(F.sum("pair_count").alias("ann"))
+    scores = pc.join(ann, "sf").select(
+        (F.col("pair_count") / F.col("ann")).alias("score")
+    )
+    qs = [i / 10 for i in range(11)]
+    row = scores.agg(
+        *[F.percentile("score", q).alias(f"q{i}") for i, q in enumerate(qs)]
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(i, round(qs[i], 2), round(float(row[f"q{i}"]), 9))
+         for i in range(11)],
+        "idx int, quantile double, threshold double",
+    )
+
+
 def q_er_clusters(spark, sf_dir):
     """Flagship: spot -> prior-link -> hub edges -> REAL connected
     components -> cluster assignments (the full ER path on driver data)."""
@@ -710,6 +744,24 @@ FROM m
         " round(tp / CAST(np AS DOUBLE), 6) AS precision,"
         " round(tp / CAST(ng AS DOUBLE), 6) AS recall FROM c"
     ),
+    "events_windowed": (
+        "SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),"
+        " '%Y-%m-%d %H:%M:%S') AS window_start, event_type,"
+        " count(*) AS n, round(avg(value), 6) AS avg_value"
+        " FROM events GROUP BY 1, 2"
+    ),
+    "confidence_thresholds": (
+        f"WITH {_TOK_CTE}, {_PC_CTE},"
+        " ann AS (SELECT sf, sum(pair_count) AS ann FROM pc GROUP BY sf),"
+        " scores AS (SELECT pc.pair_count / CAST(a.ann AS DOUBLE) AS score"
+        "   FROM pc JOIN ann a ON a.sf = pc.sf) "
+        + " UNION ALL ".join(
+            f"SELECT {i} AS idx, {i/10:.2f} AS quantile,"
+            f" round(quantile_cont(score, {i/10:.2f}), 9) AS threshold"
+            " FROM scores"
+            for i in range(11)
+        )
+    ),
     "spans_passthrough": (
         "SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
         " CAST(0 AS INT) AS span_order, 'text' AS kind, text,"
@@ -753,5 +805,7 @@ QUERIES = {
     "edit_distance": q_edit_distance,
     "spot_eval_pr": q_spot_eval_pr,
     "spans_passthrough": q_spans_passthrough,
+    "events_windowed": q_events_windowed,
+    "confidence_thresholds": q_confidence_thresholds,
     "er_clusters": q_er_clusters,
 }

@@ -96,6 +96,23 @@ def test_brute_force_topk_nearest_is_the_perturbed_twin(vectors):
         assert r["cosine"] > 0.99
 
 
+def test_ivf_topk_recall(vectors):
+    from dbpedia_spotlight_spark.operators.ann import ivf_topk
+
+    bf = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(vectors, vectors, k=1).collect()
+    }
+    ivf = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk(vectors, k=1, n_lists=4, n_probe=2).collect()
+    }
+    agree = sum(1 for q, n in ivf.items() if bf.get(q) == n)
+    # perturbed twins are near-identical vectors: they land in the same
+    # list, so IVF should find almost all of them
+    assert agree / len(bf) >= 0.8
+
+
 def test_lsh_topk_agrees_with_brute_force_mostly(vectors):
     bf = {
         r["query_id"]: r["neighbor_id"]
