@@ -81,6 +81,23 @@ def make_hyperplanes(dim: int, n_bits: int = 12, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_bits, dim))
 
 
+def hyperplane_bucket_expr(vec_col, planes: np.ndarray):
+    """Sign-LSH bucket code as a pure column expression over a literal
+    hyperplane matrix: bit j set iff dot(v, planes[j]) > 0.
+
+    JVM-side twin of lsh_bucket_udf — bit-identical to it for the same
+    planes, and expressible in ANSI SQL (list_dot_product in DuckDB), so
+    the LSH path can be hash-gated by the driver's oracle."""
+    bits = None
+    for j, row in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        bit = F.when(_dot(vec_col, plane) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        bits = bit if bits is None else bits + bit
+    return bits.cast("int")
+
+
 def lsh_bucket_udf(planes_bc):
     @pandas_udf(IntegerType())
     def bucket(vectors: pd.Series) -> pd.Series:
@@ -187,18 +204,30 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_method: str = "udf",
 ) -> DataFrame:
     """Approximate self top-k: bucket by hyperplane signs, exact cosine
-    rerank within buckets. Recall < 1 by design (single probe)."""
+    rerank within buckets. Recall < 1 by design (single probe).
+
+    bucket_method: "udf" (Arrow-batched matrix product — the fast path at
+    high dim) or "expr" (pure column expression — identical buckets,
+    SQL-expressible for the correctness oracle)."""
     spark = corpus.sparkSession
     dim = len(corpus.select(vec_col).first()[0])
-    planes_bc = spark.sparkContext.broadcast(
-        make_hyperplanes(dim, n_bits, seed)
-    )
-    bucketed = corpus.select(
+    planes = make_hyperplanes(dim, n_bits, seed)
+    base = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("bucket", lsh_bucket_udf(planes_bc)(F.col("v")))
+    )
+    if bucket_method == "expr":
+        bucketed = base.withColumn(
+            "bucket", hyperplane_bucket_expr(F.col("v"), planes)
+        )
+    else:
+        planes_bc = spark.sparkContext.broadcast(planes)
+        bucketed = base.withColumn(
+            "bucket", lsh_bucket_udf(planes_bc)(F.col("v"))
+        )
 
     a = bucketed.select(
         F.col("_id").alias("query_id"), F.col("v").alias("qv"), "bucket"

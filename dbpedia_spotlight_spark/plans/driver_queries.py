@@ -310,7 +310,7 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    return lsh_topk(emb, k=3, n_bits=6).select(
+    return lsh_topk(emb, k=3, n_bits=6, bucket_method="expr").select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
 
@@ -530,6 +530,26 @@ def _lang_hits_sql() -> str:
 _MINHASH_SIG = ", ".join(
     f"min(md5('{i}|' || g)) AS h{i}" for i in range(8)
 )
+
+# sign-LSH hyperplanes for the ann_lsh_topk gate: the SAME literal matrix
+# is compiled into the Spark column expression (hyperplane_bucket_expr)
+# and inlined below as DuckDB list literals. Embeddings are FLOAT[64] at
+# every sf (TESTDATA.md).
+_EMB_DIM, _LSH_BITS, _LSH_SEED = 64, 6, 42
+
+
+def _lsh_bucket_sql(vec: str) -> str:
+    from ..operators.ann import make_hyperplanes
+
+    planes = make_hyperplanes(_EMB_DIM, _LSH_BITS, _LSH_SEED)
+    terms = []
+    for j, row in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in row)
+        terms.append(
+            f"CASE WHEN list_dot_product({vec}, [{lits}]) > 0"
+            f" THEN {1 << j} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
 _MINHASH_BANDS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS bucket"
     " FROM sig"
@@ -661,6 +681,51 @@ FROM pairs p
 LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
 JOIN n na ON na.doc_id = p.id_a
 JOIN n nb ON nb.doc_id = p.id_b
+""",
+    # 64-bit SimHash rebuilt in SQL: first 8 md5 bytes big-endian as the
+    # per-token hash, per-bit majority vote, 16-bit pigeonhole bands, then
+    # xor + bit_count verification — the exact kernel of simhash64_udf.
+    "simhash_pairs": """
+WITH dup AS (SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + 10000, text FROM documents),
+tok AS (SELECT doc_id, t, count(*) AS ct FROM (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS t
+          FROM dup) GROUP BY doc_id, t),
+th AS (SELECT doc_id, ct,
+         ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok),
+votes AS (SELECT doc_id, i,
+            sum(CASE WHEN ((h >> i) & 1) = 1 THEN ct ELSE -ct END) AS v
+          FROM th, unnest(generate_series(0, 63)) AS u(i)
+          GROUP BY doc_id, i),
+sh AS (SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << i)
+                  ELSE 0::UBIGINT END) AS UBIGINT) AS h
+       FROM votes GROUP BY doc_id),
+banded AS (SELECT doc_id, h, b, (h >> (b * 16)) & 65535 AS bucket
+           FROM sh, unnest([0, 1, 2, 3]) AS u(b)),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+            CAST(bit_count(xor(a.h, bb.h)) AS INT) AS hamming
+          FROM banded a JOIN banded bb
+            ON a.b = bb.b AND a.bucket = bb.bucket
+            AND a.doc_id < bb.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+""",
+    "ann_lsh_topk": f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+b AS (SELECT vec_id, v, {_lsh_bucket_sql("v")} AS bucket FROM v),
+s AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_dot_product(a.v, c.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(c.v, c.v))) AS cosine
+      FROM b a JOIN b c
+        ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= 3
 """,
     "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -795,9 +860,9 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "ngram_jaccard": q_ngram_jaccard,
-    "simhash_pairs": q_simhash_pairs,       # rows-only (no SQL twin)
+    "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,         # rows-only (no SQL twin)
+    "ann_lsh_topk": q_ann_lsh_topk,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "fingerprints": q_fingerprints,
