@@ -26,6 +26,10 @@ class PipelineParams:
     # --- context scoring ---
     smoothing_lambda: float = 0.2  # GenerativeContextSimilarity.scala:27
     max_context: int = 200         # DBTwoStepDisambiguator.scala:46
+    # Snowball stemmer for context tokens ("english" = Porter2, None = off;
+    # db/tokenize/TextTokenizerFactory.scala:17-18). Must match the value
+    # the model was BUILT with.
+    stemmer: str | None = None
 
     # --- result filters (REST-facing knobs) ---
     confidence: float = 0.0

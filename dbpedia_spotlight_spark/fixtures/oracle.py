@@ -105,11 +105,18 @@ class OracleModel:
     """Candidate lookup + scoring over the stats tables."""
 
     def __init__(self, stats: StatsTables, stopwords: set[str],
-                 max_candidates: int = 10, fuzzy_top_n: int = 5):
+                 max_candidates: int = 10, fuzzy_top_n: int = 5,
+                 stemmer: str | None = None):
         self.stats = stats
         self.stopwords = stopwords
         self.max_candidates = max_candidates
         self.fuzzy_top_n = fuzzy_top_n
+        if stemmer == "english":
+            from ..functions.stem import porter2_stem
+
+            self._stem = porter2_stem
+        else:
+            self._stem = None
 
         s = stats.surface_form_stats
         self.sf_by_string = {r.sf: r for r in s.itertuples(index=False)}
@@ -193,10 +200,15 @@ class OracleModel:
         return hi + math.log1p(math.exp(lo - hi))
 
     def query_token_ids(self, doc_tokens: list[str]):
-        """Distinct (token, id-or-None) pairs; stopwords dropped."""
+        """Distinct (token, id-or-None) pairs; stopwords dropped (on the
+        RAW token, before stemming — same order as the engine)."""
         seen = {}
         for t in doc_tokens:
-            if t in self.stopwords or t in seen:
+            if t in self.stopwords:
+                continue
+            if self._stem is not None:
+                t = self._stem(t)
+            if t in seen:
                 continue
             seen[t] = self.token_id.get(t)
         return sorted(seen.items())

@@ -40,8 +40,14 @@ class StatsTables:
     vocab_size: int
 
 
-def build_stats(fx: Fixture) -> StatsTables:
+def build_stats(fx: Fixture, stemmer: str | None = None) -> StatsTables:
     stopwords = set(fx.stopwords["word"])
+    if stemmer == "english":
+        from ..functions.stem import porter2_stem as _stem
+    elif stemmer is None:
+        _stem = None
+    else:
+        raise ValueError(f"unsupported stemmer: {stemmer!r}")
     redirect_pairs = dict(
         zip(fx.redirects["src_uri"], fx.redirects["dst_uri"])
     )
@@ -60,6 +66,8 @@ def build_stats(fx: Fixture) -> StatsTables:
         pair_counts[(row.sf, uri)] += 1
         uri_counts[uri] += 1
         toks = [t for t in tokenize_py(row.context) if t not in stopwords]
+        if _stem is not None:
+            toks = [_stem(t) for t in toks]
         for t in toks:
             token_counts[t] += 1
             ctx_counts[(uri, t)] += 1

@@ -87,14 +87,17 @@ def _span_tokens(text_col, stopwords: list[str]):
 
 
 def window_token_arrays(
-    documents: DataFrame, stopwords: list[str], max_context: int
+    documents: DataFrame, stopwords: list[str], max_context: int,
+    stemmer: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (window_tokens(doc_id, window_id, query_tokens),
                 span_map(doc_id, span_idx, window_id)).
 
     query_tokens = distinct sorted context tokens of the window —
     the reference's per-window `tokensDistinct`
-    (DBTwoStepDisambiguator.scala:126)."""
+    (DBTwoStepDisambiguator.scala:126). With a stemmer, the flat token
+    stream is Porter2-stemmed (stopword filter first, like the model
+    build) before the distinct-set aggregation."""
     span_map = span_windows(documents, stopwords, max_context)
     span_toks = documents.select(
         "doc_id", F.posexplode("spans").alias("span_idx", "s")
@@ -103,12 +106,17 @@ def window_token_arrays(
         "span_idx",
         _span_tokens(F.col("s.text"), stopwords).alias("toks"),
     )
-    win_tokens = (
+    flat = (
         span_toks.join(span_map, ["doc_id", "span_idx"])
         .select("doc_id", "window_id", F.explode("toks").alias("token"))
-        .groupBy("doc_id", "window_id")
-        .agg(
-            F.array_sort(F.collect_set("token")).alias("query_tokens")
-        )
+    )
+    if stemmer == "english":
+        from ..functions.stem import stem_tokens
+
+        flat = stem_tokens(flat, "token")
+    elif stemmer is not None:
+        raise ValueError(f"unsupported stemmer: {stemmer!r}")
+    win_tokens = flat.groupBy("doc_id", "window_id").agg(
+        F.array_sort(F.collect_set("token")).alias("query_tokens")
     )
     return win_tokens, span_map

@@ -315,6 +315,30 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_porter2_stems(spark, sf_dir):
+    """(token, stem) over the corpus vocabulary — the model build's
+    distinct-vocab stemming dimension (stem.py scale path)."""
+    from ..functions.stem import stem_map
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokenize_expr(F.col("text"))).alias("token")
+    )
+    return stem_map(toks, "token")
+
+
+def q_token_counts_stemmed(spark, sf_dir):
+    """tokenCounts with the Porter2 stemmer on (the reference's default
+    tokenizer config) — exercises the stem_tokens dictionary-join path."""
+    from ..functions.stem import stem_tokens
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokenize_expr(F.col("text"))).alias("token")
+    )
+    return stem_tokens(toks, "token").groupBy("token").agg(
+        F.count("*").alias("cnt")
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", TS.language_id_expr(F.col("text")).alias("lang_pred")
@@ -507,6 +531,20 @@ sh AS (SELECT DISTINCT doc_id,
 """
 
 _STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in TS.STOPWORDS_EN) + ")"
+
+# Porter2 stems for the driver testdata's fixed 31-word vocabulary,
+# hand-derived from the PUBLISHED Snowball English algorithm (not from
+# this repo's implementation) so the stemming gates stay independent:
+# step 4 "er" in R2 (customer), step 5 e-deletion (merge/table/value),
+# step 1c y->i (query); the other 26 words have no matching suffix rule.
+# tests/test_stemmer.py pins the same pairs against porter2_stem.
+_STEM_CHANGED = {
+    "customer": "custom", "merge": "merg", "query": "queri",
+    "table": "tabl", "value": "valu",
+}
+_STEM_VALUES_SQL = ", ".join(
+    f"('{t}', '{s}')" for t, s in sorted(_STEM_CHANGED.items())
+)
 
 
 def _lang_hits_sql() -> str:
@@ -743,6 +781,20 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
 WHERE rn <= 3
 """,
+    "porter2_stems": (
+        f"WITH {_TOK_CTE},"
+        f" m(token, stem) AS (VALUES {_STEM_VALUES_SQL}),"
+        " v AS (SELECT DISTINCT token FROM tok WHERE token <> '')"
+        " SELECT v.token, coalesce(m.stem, v.token) AS stem"
+        " FROM v LEFT JOIN m USING (token)"
+    ),
+    "token_counts_stemmed": (
+        f"WITH {_TOK_CTE},"
+        f" m(token, stem) AS (VALUES {_STEM_VALUES_SQL})"
+        " SELECT coalesce(m.stem, t.token) AS token, count(*) AS cnt"
+        " FROM tok t LEFT JOIN m ON m.token = t.token"
+        " WHERE t.token <> '' GROUP BY 1"
+    ),
     "lang_id": (
         "WITH " + _lang_hits_sql() +
         " SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END"
@@ -863,6 +915,8 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "porter2_stems": q_porter2_stems,
+    "token_counts_stemmed": q_token_counts_stemmed,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "fingerprints": q_fingerprints,

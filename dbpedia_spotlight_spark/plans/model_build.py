@@ -69,6 +69,7 @@ def build_model(
     lowercase_counts: DataFrame,
     stopwords: DataFrame,
     instance_types: DataFrame | None = None,
+    stemmer: str | None = None,
 ) -> ModelTables:
     spark = training.sparkSession
 
@@ -148,12 +149,21 @@ def build_model(
         )
     )
 
-    # 6. token vocabulary (stopwords dropped, min-count pruned)
+    # 6. token vocabulary (stopwords dropped, min-count pruned). With a
+    # stemmer configured (reference default "EnglishStemmer"), tokens are
+    # Porter2-stemmed AFTER the stopword filter; Python cost is O(distinct
+    # raw tokens) via the stem_tokens dictionary join, never O(corpus).
     sw = [r["word"] for r in stopwords.collect()]
     occ_tokens = occs.select(
         "uri",
         F.explode(tokenize_expr(F.col("context"))).alias("token"),
     ).filter(~F.col("token").isin(sw))
+    if stemmer == "english":
+        from ..functions.stem import stem_tokens
+
+        occ_tokens = stem_tokens(occ_tokens, "token")
+    elif stemmer is not None:
+        raise ValueError(f"unsupported stemmer: {stemmer!r}")
     token_counts = occ_tokens.groupBy("token").agg(
         F.count("*").alias("count")
     ).filter(F.col("count") >= MIN_TOKEN_COUNT)
@@ -190,7 +200,8 @@ def build_model(
 
 
 def model_from_fixture_dir(spark: SparkSession, fixture_dir: str,
-                           persist: bool = True) -> ModelTables:
+                           persist: bool = True,
+                           stemmer: str | None = None) -> ModelTables:
     """Build the model tables from a generated fixture parquet directory."""
     rd = lambda name: spark.read.parquet(f"{fixture_dir}/{name}.parquet")
     model = build_model(
@@ -201,5 +212,6 @@ def model_from_fixture_dir(spark: SparkSession, fixture_dir: str,
         lowercase_counts=rd("lowercase_counts"),
         stopwords=rd("stopwords"),
         instance_types=rd("instance_types"),
+        stemmer=stemmer,
     )
     return model.persist() if persist else model

@@ -55,7 +55,7 @@ def annotate(
     from ..operators.windows import window_token_arrays
 
     win_tokens, span_map = window_token_arrays(
-        documents, stopwords, params.max_context
+        documents, stopwords, params.max_context, stemmer=params.stemmer
     )
     # mentions (a pandas-UDF scan) and span_map (an applyInPandas for long
     # docs) are each referenced by several downstream joins — cache them
