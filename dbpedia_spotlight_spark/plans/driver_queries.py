@@ -112,24 +112,27 @@ def q_token_counts(spark, sf_dir):
 
 
 def q_token_vocab(spark, sf_dir):
+    from ..operators.ids import dense_ids
+
     counts = q_token_counts(spark, sf_dir).filter(
         F.col("cnt") >= MIN_TOKEN_COUNT
     )
-    w = Window.orderBy("token")
-    return counts.select(
-        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
-        "token",
-        "cnt",
+    return dense_ids(counts, "token", "token_id").select(
+        "token_id", "token", "cnt"
     )
 
 
 def q_uri_counts(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
-    total = docs.count()
-    return docs.groupBy(F.col("source").alias("uri")).agg(
-        F.count("*").alias("support")
-    ).withColumn(
-        "prior", F.round(F.col("support") / F.lit(float(total)), 9)
+    # total derived from the grouped counts (one corpus pass, no separate
+    # count() action); every doc has exactly one source
+    counts = _docs(spark, sf_dir).groupBy(
+        F.col("source").alias("uri")
+    ).agg(F.count("*").alias("support"))
+    total = counts.agg(F.sum("support").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "uri",
+        "support",
+        F.round(F.col("support") / F.col("_total"), 9).alias("prior"),
     )
 
 
@@ -178,9 +181,10 @@ def q_context_scores(spark, sf_dir):
     toks = docs.select(
         "source", F.explode(tokenize_expr(F.col("text"))).alias("token")
     )
-    src_ids = docs.select(F.col("source")).distinct().withColumn(
-        "res_id",
-        (F.row_number().over(Window.orderBy("source")) - 1).cast("int"),
+    from ..operators.ids import dense_ids
+
+    src_ids = dense_ids(
+        docs.select(F.col("source")).distinct(), "source", "res_id"
     )
     ctx_counts = (
         toks.join(vocab.select("token", "token_id"), "token")

@@ -14,10 +14,9 @@ automatic); redirect resolution and disambiguation-page removal are
 broadcast joins. IDs are dense ranks over the sorted string domain so the
 tables match the pure-Python oracle builder bit-for-bit.
 
-Scale note: id assignment uses a windowed row_number over a global order,
-which funnels the dimension table through one task. That is fine for
-dimension-sized outputs (≤10^7 rows — full Wikipedia is ~10^7 surface
-forms); fact-scale tables never get global ids.
+Scale note: id assignment is the range-partitioned rank-stitch in
+operators/ids.py (no single-partition window); fact-scale tables never
+get global ids.
 """
 
 from __future__ import annotations
@@ -30,6 +29,7 @@ from pyspark.sql import functions as F
 from ..fixtures.generator import MIN_SF_COUNT, MIN_TOKEN_COUNT
 from ..functions.normalize import sf_normalize_expr
 from ..functions.tokenize import tokenize_expr
+from ..operators.ids import dense_ids
 from ..operators.redirects import resolve_redirects_df
 
 
@@ -57,8 +57,7 @@ class ModelTables:
 
 
 def _dense_id(df: DataFrame, order_col: str, id_col: str) -> DataFrame:
-    w = Window.orderBy(order_col)
-    return df.withColumn(id_col, (F.row_number().over(w) - 1).cast("int"))
+    return dense_ids(df, order_col, id_col)
 
 
 def build_model(
