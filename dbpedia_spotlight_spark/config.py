@@ -18,6 +18,10 @@ class PipelineParams:
     case_sensitive: bool = False
     overlap: bool = False          # AhoCorasickSpotter overlap flag
     min_sf_length: int = 3         # ShortSurfaceFormSelector.scala:10-12
+    # "ac" = char Aho-Corasick (fully general); "fsa" = vectorized token
+    # n-gram spotter (FSASpotter.scala recast — ~2.3x scan throughput,
+    # ~4x smaller broadcast dictionary; requires boundary-clean sfs)
+    spotter: str = "ac"
 
     # --- candidate generation ---
     max_candidates: int = 10       # DBTwoStepDisambiguator.scala:43

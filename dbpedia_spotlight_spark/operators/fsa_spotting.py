@@ -1,0 +1,289 @@
+"""Token-level FSA-style spotter — the vectorized fast path at corpus scale.
+
+The reference's v1.0 default spotter matches token-id sequences against a
+dictionary FSA (core/.../db/FSASpotter.scala:75-102; dictionary built from
+surface forms with annotationProbability >= 0.05 at :105-107). The per-char
+pure-Python Aho-Corasick walk (operators/ahocorasick.py) tops out around
+0.5-1 MB/s/core; this recast replaces the character automaton with
+numpy-vectorized token n-gram hashing:
+
+  * one regex pass tokenizes each span (C-speed),
+  * token hashes via pd.util.hash_array (vectorized siphash),
+  * n-gram hashes for n = 1..L combined from shifted arrays (numpy),
+  * np.isin membership against the broadcast dictionary hash set,
+  * exact lowercase-substring verification ONLY on hash hits — this both
+    kills hash collisions and enforces separator fidelity ("e mail" must
+    not match dictionary "e-mail"),
+  * the reference's greedy leftmost-longest filter over the (tiny) hit
+    list per span.
+
+Python work is O(tokens) vectorized + O(hits) scalar, vs O(chars) scalar
+for the AC walk. Output parity: identical mention set to spot_documents
+for dictionaries whose entries neither start nor end with a boundary
+character (guaranteed post-normalization; the AC path remains the fully
+general fallback). tests/test_fsa_spotting.py asserts set equality; the
+driver gate spot_fsa_dict hashes against the same SQL oracle as the AC
+gate.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_PARAMS, PipelineParams
+from .ahocorasick import BOUNDARY_CHARS
+from .spotting import MENTIONS_SCHEMA
+
+# token = maximal run of non-boundary characters (same boundary set as
+# AhoCorasickSpotter.scala:35 plus unicode whitespace via \s)
+_TOKEN_RE = re.compile(
+    "[^\\s" + re.escape("".join(sorted(BOUNDARY_CHARS))) + "]+"
+)
+
+_MASK = (1 << 64) - 1
+_P_INT = 1099511628211          # odd -> invertible mod 2^64
+_P = np.uint64(_P_INT)
+_P_INV = np.uint64(pow(_P_INT, -1, 1 << 64))
+
+# 256-entry boundary lookup for the ASCII byte fast path
+_BOUNDARY_TABLE = np.zeros(256, dtype=bool)
+for _ch in BOUNDARY_CHARS:
+    if ord(_ch) < 128:
+        _BOUNDARY_TABLE[ord(_ch)] = True
+for _ch in " \t\n\r\x0b\x0c":
+    _BOUNDARY_TABLE[ord(_ch)] = True
+
+
+def _hash_token_py(token: str) -> int:
+    """Byte-polynomial hash h = ((h*P)+c) mod 2^64 — the scalar twin of
+    the vectorized prefix-hash below (dictionary side + non-ASCII path)."""
+    h = 0
+    for c in token.encode("utf-8"):
+        h = (h * _P_INT + c) & _MASK
+    return h
+
+
+def _token_bounds_and_hashes_ascii(low: str):
+    """(starts, ends, token_hashes) for ASCII text with zero per-token
+    Python: boundary mask -> run edges via diff; token hashes from ONE
+    prefix polynomial sweep. For token bytes c_b..c_{e-1}:
+        hash = P^(e-1) * (S[e] - S[b]),  S[k] = Σ_{i<k} c_i * P^{-i}
+    (all mod 2^64 — uint64 wraparound; P odd so P^{-1} exists)."""
+    arr = np.frombuffer(low.encode("ascii"), dtype=np.uint8)
+    n = len(arr)
+    is_tok = ~_BOUNDARY_TABLE[arr]
+    d = np.diff(is_tok.astype(np.int8), prepend=np.int8(0),
+                append=np.int8(0))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    if len(starts) == 0:
+        return starts, ends, np.empty(0, dtype=np.uint64)
+    pw, pinv = _powers(n)
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(arr * pinv[:n], out=s[1:])
+    h = (s[ends] - s[starts]) * pw[ends - 1]
+    return starts, ends, h
+
+
+_POW_CACHE: list = [None]  # [pw, pinv] grown on demand (data-independent)
+
+
+def _powers(n: int):
+    cached = _POW_CACHE[0]
+    if cached is None or len(cached[0]) < n:
+        size = max(n, 1 << 16)
+        pw = np.empty(size, dtype=np.uint64)
+        pw[0] = 1
+        np.cumprod(np.full(size - 1, _P, dtype=np.uint64), out=pw[1:])
+        pinv = np.empty(size, dtype=np.uint64)
+        pinv[0] = 1
+        np.cumprod(np.full(size - 1, _P_INV, dtype=np.uint64), out=pinv[1:])
+        cached = (pw, pinv)
+        _POW_CACHE[0] = cached
+    return cached
+
+
+def _ngram_hashes(h: np.ndarray, n: int) -> np.ndarray:
+    """Combined hash of every n-consecutive-token window (len = len(h)-n+1)."""
+    out = h[: len(h) - n + 1].copy()
+    for k in range(1, n):
+        out *= _P
+        out += h[k : len(h) - n + 1 + k]
+    return out
+
+
+class FSADictionary:
+    """Broadcastable token-n-gram dictionary.
+
+    Per phrase length n: the np.uint64 set of combined token hashes plus
+    the exact lowercase phrase set for hit verification. Entries with a
+    leading/trailing boundary character are rejected (cannot be token
+    aligned; the AC spotter covers that degenerate class)."""
+
+    __slots__ = ("by_n", "max_n")
+
+    def __init__(self, surface_forms):
+        groups: dict[int, set[str]] = {}
+        for s in surface_forms:
+            if not s:
+                continue
+            if (
+                s[0] in BOUNDARY_CHARS or s[-1] in BOUNDARY_CHARS
+                or s[0].isspace() or s[-1].isspace()
+            ):
+                raise ValueError(
+                    f"surface form starts/ends with a boundary char: {s!r}"
+                )
+            low = s.lower()
+            toks = _TOKEN_RE.findall(low)
+            if not toks:
+                continue
+            groups.setdefault(len(toks), set()).add(low)
+        self.by_n: dict[int, tuple[np.ndarray, frozenset]] = {}
+        for n, sfs in groups.items():
+            hashes = np.unique(
+                np.array(
+                    [
+                        _ngram_hashes(
+                            np.array(
+                                [
+                                    _hash_token_py(t)
+                                    for t in _TOKEN_RE.findall(s)
+                                ],
+                                dtype=np.uint64,
+                            ),
+                            n,
+                        )[0]
+                        for s in sfs
+                    ],
+                    dtype=np.uint64,
+                )
+            )
+            self.by_n[n] = (hashes, frozenset(sfs))
+        self.max_n = max(self.by_n) if self.by_n else 1
+
+
+def build_fsa_dictionary(
+    surface_forms,
+    min_annotation_probability: float | None = None,
+) -> FSADictionary:
+    """From an iterable or the surface_form_stats table.
+    `min_annotation_probability` mirrors the reference's FSA dictionary
+    threshold (FSASpotter.scala:105-107: annotated/total >= 0.05)."""
+    if isinstance(surface_forms, DataFrame):
+        df = surface_forms
+        if min_annotation_probability is not None:
+            df = df.filter(
+                (F.col("annotated_count") / F.col("total_count"))
+                >= min_annotation_probability
+            )
+        surface_forms = [r["sf"] for r in df.select("sf").collect()]
+    return FSADictionary(surface_forms)
+
+
+def _scan_span(text: str, fsa: FSADictionary) -> list[tuple[int, int, str]]:
+    """All word-bounded dictionary matches in one span: (b, e, sf_raw)."""
+    low = text.lower()
+    if low.isascii():
+        s_arr, e_arr, h = _token_bounds_and_hashes_ascii(low)
+    else:
+        ms = [(m.start(), m.end(), m.group())
+              for m in _TOKEN_RE.finditer(low)]
+        s_arr = np.array([m[0] for m in ms], dtype=np.int64)
+        e_arr = np.array([m[1] for m in ms], dtype=np.int64)
+        h = np.array([_hash_token_py(m[2]) for m in ms], dtype=np.uint64)
+    n_tok = len(h)
+    if n_tok == 0:
+        return []
+    out: list[tuple[int, int, str]] = []
+    for n, (hashes, sf_set) in fsa.by_n.items():
+        if n > n_tok:
+            continue
+        gh = _ngram_hashes(h, n)
+        hit_idx = np.nonzero(np.isin(gh, hashes))[0]
+        for i in hit_idx:
+            b = int(s_arr[i])
+            e = int(e_arr[i + n - 1])
+            if low[b:e] in sf_set:  # exact verify: collisions + separators
+                out.append((b, e, text[b:e]))
+    return out
+
+
+def _greedy(matches: list[tuple[int, int, str]]) -> list[tuple[int, int, str]]:
+    """Leftmost-longest non-overlap (AhoCorasickSpotter.scala:118-153);
+    word-boundedness already holds by token alignment."""
+    kept: list[tuple[int, int, str]] = []
+    prev_end = -1
+    for m in sorted(matches, key=lambda m: (m[0], m[0] - m[1])):
+        if kept and m[0] <= prev_end:
+            continue
+        kept.append(m)
+        prev_end = m[1]
+    return kept
+
+
+# per-python-worker dictionary cache (same pattern + rationale as
+# spotting._AUTOMATON_CACHE)
+_FSA_CACHE: dict[int, tuple[object, FSADictionary]] = {}
+
+
+def spot_documents_fsa(
+    documents: DataFrame,
+    dictionary_bc,
+    params: PipelineParams = DEFAULT_PARAMS,
+) -> DataFrame:
+    """documents(doc_id, spans) -> mentions(doc_id, span_idx, begin, end, sf).
+
+    Same contract and output as spotting.spot_documents. `dictionary_bc`
+    is a broadcast FSADictionary (or a bare FSADictionary for tests)."""
+    overlap = params.overlap
+    min_len = params.min_sf_length
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        key = id(dictionary_bc)
+        entry = _FSA_CACHE.get(key)
+        if entry is None or entry[0] is not dictionary_bc:
+            value = getattr(dictionary_bc, "value", dictionary_bc)
+            entry = (dictionary_bc, value)
+            _FSA_CACHE[key] = entry
+        fsa = entry[1]
+        for pdf in batches:
+            rows = {"doc_id": [], "span_idx": [], "begin": [],
+                    "end": [], "sf": []}
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                for si, span in enumerate(spans):
+                    if span["kind"] != "text":
+                        continue
+                    text = span["text"]
+                    base = span["offset"]
+                    found = _scan_span(text, fsa)
+                    if not overlap:
+                        found = _greedy(found)
+                    else:
+                        found = sorted(found)
+                    for b, e, sf in found:
+                        # min-length AFTER the greedy filter, exactly like
+                        # spot_documents (a short match may still block a
+                        # longer overlap before being dropped)
+                        if e - b < min_len:
+                            continue
+                        rows["doc_id"].append(doc_id)
+                        rows["span_idx"].append(si)
+                        rows["begin"].append(base + b)
+                        rows["end"].append(base + e)
+                        rows["sf"].append(sf)
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id", "spans").mapInPandas(
+        scan, schema=MENTIONS_SCHEMA
+    )
+
+
+def broadcast_fsa_dictionary(spark, fsa: FSADictionary):
+    return spark.sparkContext.broadcast(fsa)

@@ -148,6 +148,20 @@ def q_spot_exact_dict(spark, sf_dir):
     return _mentions(spark, sf_dir)
 
 
+def q_spot_fsa_dict(spark, sf_dir):
+    """Token-FSA spotter twin of spot_exact_dict — hash-gated against the
+    SAME SQL oracle, proving AC/FSA output equivalence on driver data."""
+    from ..operators.fsa_spotting import (
+        broadcast_fsa_dictionary,
+        build_fsa_dictionary,
+        spot_documents_fsa,
+    )
+
+    docs = _spanize(_docs(spark, sf_dir))
+    d = broadcast_fsa_dictionary(spark, build_fsa_dictionary(DICTIONARY))
+    return spot_documents_fsa(docs, d).select("doc_id", "begin", "sf")
+
+
 def q_prior_disambiguation(spark, sf_dir):
     mentions = _mentions(spark, sf_dir)
     pc = q_pair_counts(spark, sf_dir)
@@ -623,6 +637,9 @@ ORACLE_SQL: dict[str, str] = {
     "spot_exact_dict": (
         f"WITH {_SPOT_CTE} SELECT doc_id, begin, sf FROM m"
     ),
+    "spot_fsa_dict": (
+        f"WITH {_SPOT_CTE} SELECT doc_id, begin, sf FROM m"
+    ),
     "prior_disambiguation": (
         f"WITH {_TOK_CTE}, {_PC_CTE}, {_BEST_CTE}, {_SPOT_CTE}"
         " SELECT m.doc_id, m.begin, m.sf, b.uri FROM m JOIN best b USING (sf)"
@@ -907,6 +924,7 @@ QUERIES = {
     "uri_counts": q_uri_counts,
     "pair_counts": q_pair_counts,
     "spot_exact_dict": q_spot_exact_dict,
+    "spot_fsa_dict": q_spot_fsa_dict,
     "prior_disambiguation": q_prior_disambiguation,
     "candidate_topk": q_candidate_topk,
     "context_scores": q_context_scores,

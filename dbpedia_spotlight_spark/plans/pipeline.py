@@ -46,11 +46,28 @@ def annotate(
     automaton_bc=None,
 ) -> AnnotateResult:
     spark = documents.sparkSession
-    if automaton_bc is None:
-        automaton = build_automaton(
-            model.surface_form_stats, case_sensitive=params.case_sensitive
+    if params.spotter == "fsa":
+        from ..operators.fsa_spotting import (
+            broadcast_fsa_dictionary,
+            build_fsa_dictionary,
+            spot_documents_fsa,
         )
-        automaton_bc = broadcast_automaton(spark, automaton)
+
+        if automaton_bc is None:
+            automaton_bc = broadcast_fsa_dictionary(
+                spark, build_fsa_dictionary(model.surface_form_stats)
+            )
+        spot = lambda docs: spot_documents_fsa(docs, automaton_bc, params)
+    else:
+        if automaton_bc is None:
+            automaton_bc = broadcast_automaton(
+                spark,
+                build_automaton(
+                    model.surface_form_stats,
+                    case_sensitive=params.case_sensitive,
+                ),
+            )
+        spot = lambda docs: spot_documents(docs, automaton_bc, params)
 
     from ..operators.windows import window_token_arrays
 
@@ -61,7 +78,7 @@ def annotate(
     # docs) are each referenced by several downstream joins — cache them
     # or Catalyst re-runs the Python stages per reference
     mentions = with_mention_key(
-        spot_documents(documents, automaton_bc, params)
+        spot(documents)
     ).join(span_map.cache(), ["doc_id", "span_idx"], "left").fillna(
         {"window_id": 0}
     ).cache()

@@ -1,0 +1,134 @@
+"""FSA token n-gram spotter must emit the identical mention set to the
+Aho-Corasick spotter (FSASpotter.scala parity path)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_spark.config import PipelineParams
+from dbpedia_spotlight_spark.operators.fsa_spotting import (
+    build_fsa_dictionary,
+    broadcast_fsa_dictionary,
+    spot_documents_fsa,
+)
+from dbpedia_spotlight_spark.operators.spotting import (
+    broadcast_automaton,
+    build_automaton,
+    spot_documents,
+)
+
+
+def _mentions_set(df):
+    return {
+        (r["doc_id"], r["span_idx"], r["begin"], r["end"], r["sf"])
+        for r in df.collect()
+    }
+
+
+def test_fsa_equals_ac_on_fixture(spark, fixture_dir, stats):
+    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    sfs = list(stats.surface_form_stats.sf)
+    ac = broadcast_automaton(spark, build_automaton(sfs))
+    got_ac = _mentions_set(spot_documents(docs, ac))
+    d = broadcast_fsa_dictionary(spark, build_fsa_dictionary(sfs))
+    got_fsa = _mentions_set(spot_documents_fsa(docs, d))
+    assert got_fsa == got_ac
+    assert got_ac, "fixture must produce mentions"
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_fsa_equals_ac_synthetic_edge_cases(spark, overlap):
+    """Punctuation separators, multi-word phrases, nested/overlapping
+    dictionary entries, case-insensitivity, phrase-internal hyphens."""
+    sfs = [
+        "New York", "New York City", "York", "big apple",
+        "O'Brien", "e-mail", "spark",
+    ]
+    texts = [
+        "I saw New York City, then the big apple itself!",
+        "new york city; New York. york alone",
+        "O'Brien sent an e-mail about Spark (spark!)",
+        "punctuation:spark,spark.spark-spark",
+        "separator e mail must not match",
+        "nothing matches here",
+        "",
+        "York",
+    ]
+    rows = [
+        (
+            f"d{i}",
+            [
+                {"kind": "text", "text": t, "media_ref": "", "offset": 0},
+                {"kind": "image", "text": "", "media_ref": "m.png",
+                 "offset": len(t)},
+            ],
+        )
+        for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    params = PipelineParams(overlap=overlap)
+    ac = broadcast_automaton(spark, build_automaton(sfs))
+    got_ac = _mentions_set(spot_documents(docs, ac, params))
+    d = broadcast_fsa_dictionary(spark, build_fsa_dictionary(sfs))
+    got_fsa = _mentions_set(spot_documents_fsa(docs, d, params))
+    assert got_fsa == got_ac
+    assert got_ac  # the cases must actually exercise matches
+    # separator fidelity: "e mail" text never matches dictionary "e-mail"
+    assert not any(m[4].lower() == "e mail" for m in got_fsa)
+
+
+def test_fsa_dictionary_annotation_probability_threshold(spark):
+    stats = spark.createDataFrame(
+        [("keep", 10, 100), ("drop", 1, 100), ("all", 5, 5)],
+        "sf string, annotated_count long, total_count long",
+    )
+    d = build_fsa_dictionary(stats, min_annotation_probability=0.05)
+    kept = set().union(*(s for _h, s in d.by_n.values()))
+    assert kept == {"keep", "all"}
+
+
+def test_fsa_dictionary_rejects_boundary_edged_entries():
+    with pytest.raises(ValueError):
+        build_fsa_dictionary(["-bad"])
+    with pytest.raises(ValueError):
+        build_fsa_dictionary(["bad "])
+
+
+def test_fsa_multiword_offsets(spark):
+    docs = spark.createDataFrame(
+        [(
+            "d0",
+            [{"kind": "text", "text": "xx New York yy", "media_ref": "",
+              "offset": 100}],
+        )],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    d = build_fsa_dictionary(["New York"])
+    rows = spot_documents_fsa(docs, d).collect()
+    assert len(rows) == 1
+    assert (rows[0]["begin"], rows[0]["end"], rows[0]["sf"]) == (
+        103, 111, "New York"
+    )
+
+
+def test_annotate_with_fsa_spotter_equals_ac(spark, fixture_dir, fx):
+    from dbpedia_spotlight_spark.plans.model_build import (
+        model_from_fixture_dir,
+    )
+    from dbpedia_spotlight_spark.plans.pipeline import annotate
+
+    model = model_from_fixture_dir(spark, fixture_dir)
+    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    sw = list(fx.stopwords.word)
+    res_ac = annotate(docs, model, stopwords=sw)
+    res_fsa = annotate(
+        docs, model, stopwords=sw, params=PipelineParams(spotter="fsa")
+    )
+    cols = ["mention_key", "uri", "final_score"]
+    a = {tuple(r) for r in res_ac.resolved.select(*cols).collect()}
+    b = {tuple(r) for r in res_fsa.resolved.select(*cols).collect()}
+    assert a == b
