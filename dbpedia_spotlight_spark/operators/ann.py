@@ -113,7 +113,7 @@ def lsh_bucket_udf(planes_bc):
 def ivf_topk(
     corpus: DataFrame,
     k: int = 10,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     n_probe: int = 2,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -125,13 +125,19 @@ def ivf_topk(
 
     The scale path alongside sign-LSH: at 10^12 rows each list is a
     partition-pruned slice; centroid assignment is one Arrow-batched
-    matrix product per batch.
+    matrix product per batch. n_lists defaults to ~sqrt(n) so in-list
+    work stays O(n^1.5) total instead of O(n²/const) with a fixed list
+    count.
     """
     spark = corpus.sparkSession
     base = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    if n_lists is None:
+        import math
+
+        n_lists = max(1, int(math.isqrt(base.count())))
     # deterministic centroid sample: first n_lists ids in xxhash order
     cents = (
         base.withColumn("_h", F.xxhash64(F.col("_id") + F.lit(seed)))
@@ -186,7 +192,8 @@ def ivf_topk(
             "neighbor_id",
             cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
         )
-        .distinct()
+        # no distinct needed: a vector lives in exactly ONE inverted list,
+        # so a (query, neighbor) pair meets at most once across probes
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

@@ -52,12 +52,13 @@ def generate_candidates(
     cand_map = model.candidate_map
     resources = model.resources
 
-    sf_dim = F.broadcast(
+    sf_dim = model.maybe_broadcast(
         sf_stats.select(
             F.col("sf").alias("cand_sf"),
             F.lower(F.col("sf")).alias("cand_sf_lower"),
             "sf_id", "annotated_count", "total_count", "lowercase_count",
-        )
+        ),
+        size_of="surface_form_stats",
     )
 
     # --- exact lookup (case-sensitive string equality) ---
@@ -94,13 +95,16 @@ def generate_candidates(
 
     # --- candidate explosion + resource stats ---
     out = (
-        sf_matched.join(F.broadcast(cand_map), "sf_id")
+        sf_matched.join(
+            model.maybe_broadcast(cand_map, "candidate_map"), "sf_id"
+        )
         .join(
-            F.broadcast(
+            model.maybe_broadcast(
                 resources.select(
                     "res_id", "uri", "support", "types",
                     F.col("prior").alias("res_prior"),
-                )
+                ),
+                "resources",
             ),
             "res_id",
         )

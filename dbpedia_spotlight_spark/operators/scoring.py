@@ -49,7 +49,9 @@ def doc_token_stats(
         *keys, F.explode("query_tokens").alias("token")
     )
     return exploded.join(
-        F.broadcast(model.tokens.select("token", "token_id", "count")),
+        model.maybe_broadcast(
+            model.tokens.select("token", "token_id", "count"), "tokens"
+        ),
         "token",
         "left",
     ).select(
@@ -96,14 +98,21 @@ def context_scores(
         F.sum("count").alias("res_token_total")
     )
 
+    # size-gated broadcasts: a real Wikipedia context table is ~10^9 rows
+    # and must NOT be force-broadcast; past the threshold AQE picks the
+    # join strategy (res_totals is bounded by the resources dimension)
     pairs = (
         tok.join(doc_res, keys)
         .join(
-            F.broadcast(model.context_counts),
+            model.maybe_broadcast(model.context_counts, "context_counts"),
             ["res_id", "token_id"],
             "left",
         )
-        .join(F.broadcast(res_totals), "res_id", "left")
+        .join(
+            model.maybe_broadcast(res_totals, "resources"),
+            "res_id",
+            "left",
+        )
     )
 
     lm_term = F.lit(ln_1mlam) + F.col("p_lm")
