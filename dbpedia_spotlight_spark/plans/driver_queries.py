@@ -56,7 +56,13 @@ MIN_TOKEN_COUNT = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The testdata corpus is one small parquet file -> 1-2 input splits,
+    # which would serialize every per-row-heavy stage (AC scan, minhash
+    # md5) onto 2 cores. Spread it once; at real corpus scale the file
+    # count provides this parallelism and the repartition is a no-op to
+    # remove.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,11 +85,19 @@ def _spanize(docs: DataFrame) -> DataFrame:
 
 
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real AC-spotter path over the testdata corpus."""
+    """Spotter path over the testdata corpus, shared by the linking /
+    clustering gates. Uses the vectorized FSA spotter — its output is
+    hash-proven identical to the AC spotter by the spot_fsa_dict /
+    spot_exact_dict gate pair, and it is ~2-4x faster."""
+    from ..operators.fsa_spotting import (
+        broadcast_fsa_dictionary,
+        build_fsa_dictionary,
+        spot_documents_fsa,
+    )
+
     docs = _spanize(_docs(spark, sf_dir))
-    ac = build_automaton(DICTIONARY, case_sensitive=False)
-    bc = broadcast_automaton(spark, ac)
-    return spot_documents(docs, bc).select("doc_id", "begin", "sf")
+    bc = broadcast_fsa_dictionary(spark, build_fsa_dictionary(DICTIONARY))
+    return spot_documents_fsa(docs, bc).select("doc_id", "begin", "sf")
 
 
 def _dup_corpus(docs: DataFrame) -> DataFrame:
@@ -200,13 +214,17 @@ def q_context_scores(spark, sf_dir):
     src_ids = dense_ids(
         docs.select(F.col("source")).distinct(), "source", "res_id"
     )
+    # cached: referenced by maybe_broadcast's size count AND the scoring
+    # join — uncached, each reference re-derives the whole aggregation
+    vocab = vocab.cache()
+    src_ids = src_ids.cache()
     ctx_counts = (
         toks.join(vocab.select("token", "token_id"), "token")
         .groupBy("source", "token_id")
         .agg(F.count("*").alias("count"))
         .join(src_ids, "source")
         .select("res_id", "token_id", "count")
-    )
+    ).cache()
     totals = vocab.agg(F.sum("count"), F.count("*")).collect()[0]
     model = ModelTables(
         surface_form_stats=None,
