@@ -32,6 +32,8 @@ def _params(args) -> PipelineParams:
         type_whitelist=tuple(getattr(args, "types", []) or []),
         uri_whitelist=tuple(getattr(args, "uris", []) or []),
         coreference_resolution=not getattr(args, "no_coref", False),
+        stemmer=getattr(args, "stemmer", None) or None,
+        spotter=getattr(args, "spotter", "ac"),
         shuffle_partitions=args.shuffle_partitions,
         checkpoint_dir=args.checkpoint_dir,
     )
@@ -45,6 +47,9 @@ def main(argv=None) -> None:
     _add_common(b)
     b.add_argument("--fixture-dir", required=True)
     b.add_argument("--output", required=True)
+    b.add_argument("--stemmer", choices=["english"], default=None,
+                   help="Snowball stemmer for context tokens "
+                        "(TextTokenizerFactory.scala:17-18)")
 
     a = sub.add_parser("annotate", help="spot + disambiguate documents")
     _add_common(a)
@@ -56,6 +61,13 @@ def main(argv=None) -> None:
     a.add_argument("--types", nargs="*")
     a.add_argument("--uris", nargs="*")
     a.add_argument("--no-coref", action="store_true")
+    a.add_argument("--stemmer", choices=["english"], default=None,
+                   help="must match the model's build-time stemmer")
+    a.add_argument("--spotter", choices=["ac", "fsa"], default="ac")
+    a.add_argument("--format", choices=["parquet", "xml", "json", "html",
+                                        "rdfa", "nif"], default="parquet",
+                   help="output rendering (OutputManager.java shapes); "
+                        "non-parquet writes (doc_id, output) rows")
 
     r = sub.add_parser("resolve", help="full record-linkage run")
     _add_common(r)
@@ -74,7 +86,9 @@ def main(argv=None) -> None:
     if args.cmd == "model-build":
         from .plans.model_build import model_from_fixture_dir
 
-        model = model_from_fixture_dir(spark, args.fixture_dir)
+        model = model_from_fixture_dir(
+            spark, args.fixture_dir, stemmer=args.stemmer
+        )
         for name in ("surface_form_stats", "resources", "candidate_map",
                      "tokens", "context_counts"):
             getattr(model, name).write.mode("overwrite").parquet(
@@ -101,8 +115,18 @@ def main(argv=None) -> None:
         from .plans.pipeline import annotate
 
         res = annotate(docs, model, stopwords, params)
-        res.resolved.write.mode("overwrite").parquet(args.output)
-        print(json.dumps({"status": "ok", "rows": res.resolved.count()}))
+        fmt = getattr(args, "format", "parquet")
+        if fmt == "parquet":
+            out = res.resolved
+        else:
+            from .sources.output_formats import render_outputs
+
+            out = render_outputs(
+                docs, res.resolved, fmt=fmt,
+                confidence=params.confidence, support=params.support,
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"status": "ok", "rows": out.count()}))
     elif args.cmd == "resolve":
         from .plans.pipeline import resolve
         from .sources.checkpoint import CheckpointStore

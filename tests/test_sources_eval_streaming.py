@@ -199,6 +199,25 @@ def test_cli_end_to_end(fixture_dir, tmp_path):
     info = json.loads(r2.stdout.strip().splitlines()[-1])
     assert info["status"] == "ok" and info["clusters"] > 0
 
+    # annotate with the FSA spotter + XML output rendering
+    out_xml = str(tmp_path / "annotated_xml")
+    r3 = subprocess.run(
+        [sys.executable, "-m", "dbpedia_spotlight_spark.cli", "annotate",
+         "--documents", f"{fixture_dir}/documents.parquet",
+         "--model-dir", model_dir, "--output", out_xml,
+         "--spotter", "fsa", "--format", "xml",
+         "--master", "local[2]", "--shuffle-partitions", "4"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=600,
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(out_xml)
+    outs = tbl.column("output").to_pylist()
+    assert outs and all(o.startswith("<?xml") for o in outs)
+    assert any("<Resource " in o for o in outs)
+
 
 def test_package_zip(tmp_path):
     from dbpedia_spotlight_spark.package import build
