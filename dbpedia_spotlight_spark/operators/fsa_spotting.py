@@ -19,11 +19,16 @@ numpy-vectorized token n-gram hashing:
 
 Python work is O(tokens) vectorized + O(hits) scalar, vs O(chars) scalar
 for the AC walk. Output parity: identical mention set to spot_documents
-for dictionaries whose entries neither start nor end with a boundary
-character (guaranteed post-normalization; the AC path remains the fully
-general fallback). tests/test_fsa_spotting.py asserts set equality; the
-driver gate spot_fsa_dict hashes against the same SQL oracle as the AC
-gate.
+in the default overlap=False mode for dictionaries whose entries neither
+start nor end with a boundary character (guaranteed post-normalization;
+the AC path remains the fully general fallback). With overlap=True the
+AC path reproduces the reference exactly — ALL automaton matches, even
+mid-word ones, since the word-boundary check lives inside the greedy
+filter (AhoCorasickSpotter.scala:118-153) — while this path only ever
+emits token-aligned spans. tests/test_fsa_spotting.py +
+test_properties.py assert set equality (property-tested on random
+dictionaries/texts); the driver gate spot_fsa_dict hashes against the
+same SQL oracle as the AC gate.
 """
 
 from __future__ import annotations

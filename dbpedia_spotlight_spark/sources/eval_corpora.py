@@ -139,6 +139,65 @@ def read_milne_witten(
 
 
 # ---------------------------------------------------------------------------
+# CSAW
+# ---------------------------------------------------------------------------
+
+_CSAW_SKIP = {"CZdata1", "docPaths.txt", "13Oct08_allUrls.txt.txt"}
+
+
+def read_csaw(spark: SparkSession, directory: str) -> tuple[DataFrame, DataFrame]:
+    """CSAW corpus (eval/.../corpus/CSAWCorpus.scala:18-53): raw text
+    files under <dir>/crawledDocs (doc_id = file name, special files
+    skipped) + <dir>/CSAW_Annotations.xml with (docName, wikiName,
+    offset, length) entries; the surface form is the document substring
+    at [offset, offset+length). Empty wikiName entries are dropped."""
+    import os
+    import xml.etree.ElementTree as ET
+
+    from pyspark.sql import functions as F
+
+    texts = (
+        spark.read.text(f"{directory}/crawledDocs/*", wholetext=True)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1)
+            .alias("doc_id"),
+            F.col("value").alias("text"),
+        )
+        .filter(~F.col("doc_id").isin(sorted(_CSAW_SKIP)))
+        .filter(~F.col("doc_id").startswith("."))
+    )
+    root = ET.parse(os.path.join(directory, "CSAW_Annotations.xml")).getroot()
+    rows = []
+    for ann in root.iter("annotation"):
+        doc = (ann.findtext("docName") or "").strip()
+        wiki = (ann.findtext("wikiName") or "").strip()
+        if not doc or not wiki:
+            continue
+        rows.append(
+            (doc, wiki, int(ann.findtext("offset")),
+             int(ann.findtext("length")))
+        )
+    ann_df = spark.createDataFrame(
+        rows, "doc_id string, uri string, offset int, length int"
+    )
+    occurrences = (
+        ann_df.join(texts, "doc_id")
+        .select(
+            F.concat_ws("-", "doc_id", F.col("offset").cast("string"))
+            .alias("occ_id"),
+            "doc_id",
+            "uri",
+            F.substring(
+                F.col("text"), F.col("offset") + 1, F.col("length")
+            ).alias("sf"),
+            "offset",
+            F.lit(1.0).alias("confidence"),
+        )
+    )
+    return texts, occurrences
+
+
+# ---------------------------------------------------------------------------
 # AIDA CoNLL
 # ---------------------------------------------------------------------------
 

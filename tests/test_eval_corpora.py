@@ -292,3 +292,41 @@ def test_wiki_page_occurrences(spark):
     # redirect pages excluded; the See-also section stripped
     assert not any(d.startswith("Redir") for d, *_ in got)
     assert not any(u == "Delta" for _d, u, *_ in got)
+
+
+# ---------------------------------------------------------------------------
+# CSAW
+# ---------------------------------------------------------------------------
+
+def test_read_csaw(spark, tmp_path):
+    from dbpedia_spotlight_spark.sources.eval_corpora import read_csaw
+
+    d = tmp_path / "csaw"
+    (d / "crawledDocs").mkdir(parents=True)
+    (d / "crawledDocs" / "doc_A.txt").write_text(
+        "Barack Obama spoke in Berlin today."
+    )
+    (d / "crawledDocs" / "doc_B.txt").write_text("Nothing annotated here.")
+    (d / "crawledDocs" / "docPaths.txt").write_text("skip me")
+    (d / "CSAW_Annotations.xml").write_text(
+        "<annotations>"
+        "<annotation><docName>doc_A.txt</docName>"
+        "<wikiName>Barack_Obama</wikiName>"
+        "<offset>0</offset><length>12</length></annotation>"
+        "<annotation><docName>doc_A.txt</docName>"
+        "<wikiName>Berlin</wikiName>"
+        "<offset>22</offset><length>6</length></annotation>"
+        "<annotation><docName>doc_A.txt</docName>"
+        "<wikiName></wikiName>"        # empty wikiName -> dropped
+        "<offset>28</offset><length>5</length></annotation>"
+        "</annotations>"
+    )
+    docs, occs = read_csaw(spark, str(d))
+    names = {r["doc_id"] for r in docs.collect()}
+    assert names == {"doc_A.txt", "doc_B.txt"}  # docPaths.txt skipped
+    got = {(r["doc_id"], r["uri"], r["sf"], r["offset"])
+           for r in occs.collect()}
+    assert got == {
+        ("doc_A.txt", "Barack_Obama", "Barack Obama", 0),
+        ("doc_A.txt", "Berlin", "Berlin", 22),
+    }

@@ -83,3 +83,51 @@ def test_logsumexp_dominates_max(xs):
     lse = logsumexp(xs)
     assert lse >= max(xs) - 1e-12
     assert lse <= max(xs) + math.log(len(xs)) + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# FSA token-n-gram kernel == AC kernel (default greedy mode)
+# ---------------------------------------------------------------------------
+
+phrases = st.lists(
+    st.lists(words, min_size=1, max_size=3).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+rich_texts = st.text(alphabet="abcxyz ,.()-'\n", min_size=0, max_size=120)
+
+
+@given(phrases, rich_texts)
+@settings(max_examples=300, deadline=None)
+def test_fsa_kernel_equals_ac_greedy(patterns, text):
+    from dbpedia_spotlight_spark.operators.fsa_spotting import (
+        FSADictionary,
+        _greedy,
+        _scan_span,
+    )
+
+    ac = AhoCorasick(patterns)
+    want = spot_text(ac, text)  # greedy leftmost-longest, word-bounded
+    fsa = FSADictionary(patterns)
+    got = [(b, e - b) for b, e, _sf in _greedy(_scan_span(text, fsa))]
+    assert got == want
+
+
+@given(phrases, rich_texts)
+@settings(max_examples=200, deadline=None)
+def test_fsa_all_matches_are_word_bounded_ac_matches(patterns, text):
+    """Every FSA match is an AC automaton match that is word-bounded on
+    both sides (the overlap=True delta: AC also emits mid-word hits)."""
+    from dbpedia_spotlight_spark.operators.fsa_spotting import (
+        FSADictionary,
+        _scan_span,
+    )
+
+    ac = AhoCorasick(patterns)
+    all_ac = set(spot_text(ac, text, overlap=True))
+    fsa = FSADictionary(patterns)
+    for b, e, sf in _scan_span(text, fsa):
+        assert (b, e - b) in all_ac
+        assert b == 0 or is_boundary(text[b - 1])
+        assert e >= len(text) or is_boundary(text[e])
+        assert text[b:e] == sf
