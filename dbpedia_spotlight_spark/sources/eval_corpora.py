@@ -139,6 +139,199 @@ def read_milne_witten(
 
 
 # ---------------------------------------------------------------------------
+# PREDOSE
+# ---------------------------------------------------------------------------
+
+def parse_predose_lines(lines) -> list[dict]:
+    """PREDOSE format (eval/.../corpus/PredoseCorpus.scala:15-53):
+    blank-line-separated blocks; a text line followed by occurrence lines
+    ``start \\t end \\t label \\t uri``; paragraph id = "PREDOSE" +
+    hash(text line) — we use a content digest instead of the JVM
+    hashCode (same role: a stable content-derived id)."""
+    import hashlib
+
+    occ_re = re.compile(r"^(\d+)\t(\d+)\t(.+?)\t(\S+)$")
+    out: list[dict] = []
+    cur_text, cur_id, cur_occs = "", "", []
+    for line in lines:
+        if not line.strip():
+            if cur_id:
+                out.append(
+                    {"doc_id": cur_id, "text": cur_text, "occs": cur_occs}
+                )
+            cur_text, cur_id, cur_occs = "", "", []
+            continue
+        m = occ_re.match(line)
+        if m:
+            start, _end, label, uri = m.groups()
+            cur_occs.append((uri, label, int(start)))
+        else:
+            cur_text = line
+            cur_id = "PREDOSE" + hashlib.md5(line.encode()).hexdigest()[:12]
+            cur_occs = []
+    if cur_id:
+        out.append({"doc_id": cur_id, "text": cur_text, "occs": cur_occs})
+    return out
+
+
+def read_predose(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    files = spark.read.text(path, wholetext=True)
+
+    def parse_batch(it: Iterator[pd.DataFrame]):
+        for pdf in it:
+            rows = []
+            for content in pdf["value"]:
+                for doc in parse_predose_lines(content.splitlines()):
+                    rows.append(
+                        (
+                            doc["doc_id"],
+                            doc["text"],
+                            [
+                                (f"{doc['doc_id']}-{off}", doc["doc_id"],
+                                 uri, sf, off, 1.0)
+                                for uri, sf, off in doc["occs"]
+                            ],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "text", "occs"])
+
+    from pyspark.sql import functions as F
+
+    parsed = files.mapInPandas(
+        parse_batch,
+        schema=(
+            "doc_id string, text string, occs array<struct<"
+            "occ_id:string,doc_id:string,uri:string,sf:string,"
+            "offset:int,confidence:double>>"
+        ),
+    ).cache()
+    return (
+        parsed.select("doc_id", "text"),
+        parsed.select(F.explode("occs").alias("o")).select("o.*"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TAC-KBP entity linking
+# ---------------------------------------------------------------------------
+
+_KBP_NW_FOLDERS = {
+    "AFP_ENG": "2009/nw/afp_eng", "APW_ENG": "2009/nw/apw_eng",
+    "CNA_ENG": "2009/nw/cna_eng", "LTW_ENG": "2009/nw/ltw_eng",
+    "NYT_ENG": "2009/nw/nyt_eng", "REU_ENG": "2009/nw/reu_eng",
+    "XIN_ENG": "2009/nw/xin_eng",
+}
+_KBP_WB_FOLDERS = ("2009/wb", "2010/wb")
+
+
+def _kbp_queries(query_file: str) -> dict[str, tuple[str, str]]:
+    """query id -> (name, docid); tolerates the encoding="utf8" typo the
+    reference patches (KBPCorpus.scala:57-62)."""
+    import xml.etree.ElementTree as ET
+
+    with open(query_file, encoding="utf-8") as f:
+        content = f.read()
+    content = re.sub(r'(?i)encoding="utf8"', 'encoding="utf-8"', content)
+    root = ET.fromstring(content)
+    return {
+        q.get("id"): (q.findtext("name"), q.findtext("docid"))
+        for q in root.iter("query")
+    }
+
+
+def _kbp_knowledge_base(kb_dir: str) -> list[str]:
+    """Entity index -> wiki-encoded uri; gaps in the strictly-increasing
+    id sequence become empty uris (KBPCorpus.scala:71-95)."""
+    import os
+    import xml.etree.ElementTree as ET
+
+    uris: list[str] = []
+    last_id = 0
+    for fname in sorted(os.listdir(kb_dir)):
+        if not fname.endswith(".xml"):
+            continue
+        root = ET.parse(os.path.join(kb_dir, fname)).getroot()
+        for e in root.iter("entity"):
+            eid = int(e.get("id")[1:])
+            uris.extend([""] * (eid - last_id - 1))
+            last_id = eid
+            uris.append((e.get("wiki_title") or "").replace(" ", "_"))
+    return uris
+
+
+def _kbp_paragraphs(source_dir: str, doc_id: str) -> list[str]:
+    """Paragraph texts of one source document: <P> elements for
+    newswires, POST text split on blank lines for web blogs
+    (KBPCorpus.scala:146-167)."""
+    import os
+    import xml.etree.ElementTree as ET
+
+    folder_id = doc_id.split(".")[0]
+    for prefix, path in _KBP_NW_FOLDERS.items():
+        if folder_id.startswith(prefix):
+            full = os.path.join(
+                source_dir, path, folder_id[8:], doc_id + ".sgm"
+            )
+            root = ET.parse(full).getroot()
+            return [
+                "".join(p.itertext()).replace("\n", " ")
+                for p in root.iter("P")
+            ]
+    for path in _KBP_WB_FOLDERS:
+        full = os.path.join(source_dir, path, doc_id + ".sgm")
+        if os.path.exists(full):
+            root = ET.parse(full).getroot()
+            body = "".join(
+                "".join(p.itertext()) for p in root.iter("POST")
+            )
+            return [p.replace("\n", " ") for p in body.split("\n\n")]
+    return []
+
+
+def read_kbp(
+    spark: SparkSession,
+    query_file: str,
+    answer_file: str,
+    source_dir: str,
+    kb_dir: str,
+) -> tuple[DataFrame, DataFrame]:
+    """TAC-KBP entity-linking corpus (eval/.../corpus/KBPCorpus.scala):
+    per query, every source-document paragraph containing the query name
+    becomes one annotated paragraph (doc_id = <docid>-<paraIdx>) with a
+    single occurrence at indexOf(name); NIL answers are skipped; answer
+    entity ids resolve through the knowledge base to wiki uris."""
+    queries = _kbp_queries(query_file)
+    with open(answer_file, encoding="utf-8") as f:
+        answers = dict(
+            line.split("\t")[:2] for line in f.read().splitlines() if line
+        )
+    kb = _kbp_knowledge_base(kb_dir)
+
+    doc_rows, occ_rows = [], []
+    for qid, (name, docid) in sorted(queries.items()):
+        answer = answers.get(qid, "NIL")
+        if answer.startswith("NIL"):
+            continue
+        uri = kb[int(answer[1:]) - 1]  # KB ids are 1-based
+        for pidx, para in enumerate(_kbp_paragraphs(source_dir, docid)):
+            off = para.find(name)
+            if off < 0:
+                continue
+            para_id = f"{docid}-{pidx}"
+            doc_rows.append((para_id, para))
+            occ_rows.append(
+                (f"{para_id}-{off}", para_id, uri, name, off, 1.0)
+            )
+    documents = spark.createDataFrame(
+        doc_rows or [("", "")], DOC_SCHEMA
+    ).filter("doc_id <> ''").dropDuplicates(["doc_id"])
+    occurrences = spark.createDataFrame(
+        occ_rows or [("", "", "", "", 0, 0.0)], OCC_SCHEMA
+    ).filter("doc_id <> ''")
+    return documents, occurrences
+
+
+# ---------------------------------------------------------------------------
 # CSAW
 # ---------------------------------------------------------------------------
 

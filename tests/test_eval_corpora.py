@@ -330,3 +330,101 @@ def test_read_csaw(spark, tmp_path):
         ("doc_A.txt", "Barack_Obama", "Barack Obama", 0),
         ("doc_A.txt", "Berlin", "Berlin", 22),
     }
+
+
+# ---------------------------------------------------------------------------
+# PREDOSE + TAC-KBP
+# ---------------------------------------------------------------------------
+
+def test_read_predose(spark, tmp_path):
+    from dbpedia_spotlight_spark.sources.eval_corpora import (
+        parse_predose_lines, read_predose,
+    )
+
+    content = (
+        "The patient took oxycodone daily.\n"
+        "17\t26\toxycodone\tOxycodone\n"
+        "\n"
+        "No annotations in this one.\n"
+        "\n"
+    )
+    docs = parse_predose_lines(content.splitlines())
+    assert len(docs) == 2
+    assert docs[0]["occs"] == [("Oxycodone", "oxycodone", 17)]
+    assert docs[0]["text"][17:26] == "oxycodone"
+
+    p = tmp_path / "predose.tsv"
+    p.write_text(content)
+    ddf, odf = read_predose(spark, str(p))
+    assert ddf.count() == 2
+    rows = odf.collect()
+    assert len(rows) == 1
+    assert (rows[0]["uri"], rows[0]["sf"], rows[0]["offset"]) == (
+        "Oxycodone", "oxycodone", 17
+    )
+
+
+def test_read_kbp(spark, tmp_path):
+    from dbpedia_spotlight_spark.sources.eval_corpora import read_kbp
+
+    base = tmp_path / "kbp"
+    # knowledge base: two files, an id gap (E3 missing is implied by E4)
+    kb = base / "kb"
+    kb.mkdir(parents=True)
+    (kb / "a.xml").write_text(
+        '<knowledge_base>'
+        '<entity id="E1" wiki_title="Barack Obama"/>'
+        '<entity id="E2" wiki_title="Berlin"/>'
+        "</knowledge_base>"
+    )
+    (kb / "b.xml").write_text(
+        '<knowledge_base><entity id="E4" wiki_title="Paris"/>'
+        "</knowledge_base>"
+    )
+    # newswire source doc APW_ENG_20090101.0001 under 2009/nw/apw_eng/20090101
+    nw = base / "src" / "2009" / "nw" / "apw_eng" / "20090101"
+    nw.mkdir(parents=True)
+    (nw / "APW_ENG_20090101.0001.sgm").write_text(
+        "<DOC><BODY><TEXT>"
+        "<P>Obama spoke in Berlin\ntoday.</P>"
+        "<P>Nothing relevant here.</P>"
+        "<P>Later, Obama left.</P>"
+        "</TEXT></BODY></DOC>"
+    )
+    # web blog doc under 2009/wb
+    wb = base / "src" / "2009" / "wb"
+    wb.mkdir(parents=True)
+    (wb / "blog_0001.sgm").write_text(
+        "<DOC><POST>I love Paris in spring.\n\nParis again!</POST></DOC>"
+    )
+    q = base / "queries.xml"
+    q.write_text(
+        '<?xml version="1.0" encoding="UTF8"?>\n'
+        "<kbpentlink>"
+        '<query id="Q1"><name>Obama</name>'
+        "<docid>APW_ENG_20090101.0001</docid></query>"
+        '<query id="Q2"><name>Paris</name><docid>blog_0001</docid></query>'
+        '<query id="Q3"><name>Ghost</name>'
+        "<docid>APW_ENG_20090101.0001</docid></query>"
+        "</kbpentlink>"
+    )
+    a = base / "answers.tab"
+    a.write_text("Q1\tE1\nQ2\tE4\nQ3\tNIL001\n")
+
+    docs, occs = read_kbp(
+        spark, str(q), str(a), str(base / "src"), str(kb)
+    )
+    got = {
+        (r["doc_id"], r["uri"], r["sf"], r["offset"])
+        for r in occs.collect()
+    }
+    # Obama appears in paragraphs 0 and 2 of the newswire; newline -> space
+    assert ("APW_ENG_20090101.0001-0", "Barack_Obama", "Obama", 0) in got
+    assert ("APW_ENG_20090101.0001-2", "Barack_Obama", "Obama", 7) in got
+    # blog paragraphs split on blank lines; KB id gap resolved (E4->Paris)
+    assert ("blog_0001-0", "Paris", "Paris", 7) in got
+    assert ("blog_0001-1", "Paris", "Paris", 0) in got
+    # NIL answer skipped
+    assert not any(u == "" for _d, u, _s, _o in got)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert texts["APW_ENG_20090101.0001-0"] == "Obama spoke in Berlin today."
