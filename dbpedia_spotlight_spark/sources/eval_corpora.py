@@ -331,6 +331,58 @@ def read_kbp(
     return documents, occurrences
 
 
+def small_context_occurrences(
+    documents: DataFrame, occurrences: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """SmallContextOccurrencesCorpus (eval/.../corpus/
+    SmallContextOccurrencesCorpus.scala:15-32): one paragraph per
+    occurrence, context narrowed to the last 10 words left of the
+    mention + the first 11 space-separated words from the mention on;
+    paragraph id = <doc_id>-<uri>. Pure column expressions. The
+    reference keeps the occurrence's ORIGINAL offset (stale relative to
+    the narrowed text — reproduced as-is)."""
+    from pyspark.sql import functions as F
+
+    joined = occurrences.join(
+        documents.select(
+            F.col("doc_id"), F.col("text").alias("_text")
+        ),
+        "doc_id",
+    )
+    left = F.substring(F.col("_text"), 1, F.col("offset"))
+    right = F.substring(
+        F.col("_text"), F.col("offset") + 1, F.length("_text")
+    )
+    # exact reference concatenation: always one " " between the parts
+    # (leading space when the mention starts the text). Scala's
+    # split(" ") drops TRAILING empty strings (Spark keeps them), so the
+    # left side strips trailing spaces before splitting.
+    small = F.concat(
+        F.array_join(
+            F.slice(
+                F.split(F.regexp_replace(left, r" +$", ""), " "), -10, 10
+            ),
+            " ",
+        ),
+        F.lit(" "),
+        F.array_join(F.slice(F.split(right, " ", 12), 1, 11), " "),
+    )
+    out = joined.select(
+        F.concat_ws("-", "doc_id", "uri").alias("small_doc_id"),
+        small.alias("text"),
+        "occ_id", "uri", "sf", "offset", "confidence",
+    ).cache()
+    docs = out.select(
+        F.col("small_doc_id").alias("doc_id"), "text"
+    ).dropDuplicates(["doc_id"])
+    occs = out.select(
+        "occ_id",
+        F.col("small_doc_id").alias("doc_id"),
+        "uri", "sf", "offset", "confidence",
+    )
+    return docs, occs
+
+
 # ---------------------------------------------------------------------------
 # CSAW
 # ---------------------------------------------------------------------------

@@ -428,3 +428,30 @@ def test_read_kbp(spark, tmp_path):
     assert not any(u == "" for _d, u, _s, _o in got)
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert texts["APW_ENG_20090101.0001-0"] == "Obama spoke in Berlin today."
+
+
+def test_small_context_occurrences(spark):
+    from dbpedia_spotlight_spark.sources.eval_corpora import (
+        small_context_occurrences,
+    )
+
+    text = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 Berlin x1 x2 x3 x4 x5"
+            " x6 x7 x8 x9 x10 x11 x12 x13")
+    off = text.index("Berlin")
+    docs = spark.createDataFrame([("d0", text)], "doc_id string, text string")
+    occs = spark.createDataFrame(
+        [("d0-0", "d0", "Berlin", "Berlin", off, 1.0)],
+        "occ_id string, doc_id string, uri string, sf string,"
+        " offset int, confidence double",
+    )
+    sdocs, soccs = small_context_occurrences(docs, occs)
+    row = sdocs.collect()[0]
+    assert row["doc_id"] == "d0-Berlin"
+    # last 10 left words (Scala split drops the trailing empty) +
+    # mention-side first 11 space-separated words
+    assert row["text"] == (
+        "w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 "
+        "Berlin x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    )
+    srow = soccs.collect()[0]
+    assert srow["uri"] == "Berlin" and srow["offset"] == off
