@@ -70,6 +70,69 @@ def disambiguation_metrics(
     }
 
 
+def evaluate_corpus(
+    documents: DataFrame,
+    gold_occurrences: DataFrame,
+    model,
+    stopwords: list[str],
+    params=None,
+) -> dict:
+    """Run the full pipeline over a parsed evaluation corpus and emit the
+    reference's printed metric block (EvaluateParagraphDisambiguator
+    .scala:88-99 + EvalSpotter.scala:113-135 + the prior-only baseline of
+    EvaluateSpotlightModel.scala:63-69) in one dict.
+
+    `documents` = (doc_id, text) or (doc_id, spans) — exactly what the
+    sources/eval_corpora.py readers return; `gold_occurrences` carries
+    (doc_id, uri, sf, offset)."""
+    from ..config import DEFAULT_PARAMS
+    from .pipeline import annotate
+
+    params = params or DEFAULT_PARAMS
+    if "spans" not in documents.columns:
+        docs = documents.select(
+            "doc_id",
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.col("text").alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(0).cast("int").alias("offset"),
+                )
+            ).alias("spans"),
+        )
+    else:
+        docs = documents
+    res = annotate(docs, model, stopwords, params)
+    gold = gold_occurrences.select("doc_id", "offset", "sf", "uri").cache()
+    spot = spotting_pr(res.mentions, gold)
+    dis = disambiguation_metrics(res.scored, gold)
+    prior = prior_only_baseline(res.candidates).select(
+        "mention_key", F.col("uri").alias("prior_uri")
+    )
+    mention_gold = gold.select(
+        F.concat_ws(":", "doc_id", F.col("offset").cast("string")).alias(
+            "mention_key"
+        ),
+        F.col("uri").alias("gold_uri"),
+    )
+    prior_hits = mention_gold.join(prior, "mention_key", "left")
+    n_gold = mention_gold.count()
+    prior_acc = (
+        prior_hits.filter(F.col("prior_uri") == F.col("gold_uri")).count()
+        / n_gold
+        if n_gold
+        else 0.0
+    )
+    return {
+        "spotting": spot,
+        "disambiguation": dis,
+        "prior_baseline_accuracy": prior_acc,
+        "n_documents": docs.count(),
+        "n_gold_occurrences": n_gold,
+    }
+
+
 def prior_only_baseline(mention_candidates: DataFrame) -> DataFrame:
     """argmax candidate by prior P(e|s) (DBBaselineDisambiguator.scala:16-30)."""
     from pyspark.sql import Window

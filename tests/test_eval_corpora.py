@@ -455,3 +455,29 @@ def test_small_context_occurrences(spark):
     )
     srow = soccs.collect()[0]
     assert srow["uri"] == "Berlin" and srow["offset"] == off
+
+
+def test_evaluate_corpus_on_milne_witten_format(spark, fx, fixture_dir):
+    """The reference's full printed metric block, computed over a corpus
+    consumed FROM the MilneWitten format (the user-facing eval loop)."""
+    from dbpedia_spotlight_spark.plans.evaluation import evaluate_corpus
+    from dbpedia_spotlight_spark.plans.model_build import (
+        model_from_fixture_dir,
+    )
+
+    rows, _ = _mw_render(fx)
+    paras = spark.createDataFrame(rows, "doc_id string, paragraph string")
+    docs, gold = read_milne_witten(spark, paras)
+    model = model_from_fixture_dir(spark, fixture_dir)
+    metrics = evaluate_corpus(
+        docs, gold, model, stopwords=list(fx.stopwords.word)
+    )
+    # gold spots come from the dictionary itself -> near-perfect recall;
+    # disambiguation on the fixture model is the e2e-verified path
+    assert metrics["spotting"]["recall"] >= 0.99
+    assert metrics["disambiguation"]["accuracy"] >= 0.95
+    assert metrics["disambiguation"]["mrr"] >= metrics[
+        "disambiguation"]["accuracy"]
+    assert 0.0 <= metrics["disambiguation"]["not_found_rate"] <= 0.05
+    assert metrics["prior_baseline_accuracy"] <= 1.0
+    assert metrics["n_gold_occurrences"] > 0
