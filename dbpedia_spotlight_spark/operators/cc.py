@@ -88,8 +88,9 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.toLocalIterator():
-        a, b = row["src"], row["dst"]
+    pdf = edges.toPandas()  # one Arrow transfer (edge count is gated by
+    # DRIVER_CC_MAX_EDGES; toLocalIterator paid per-batch RPC overhead)
+    for a, b in zip(pdf["src"], pdf["dst"]):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
