@@ -1,12 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-`entry(spark)` runs the flagship entity-resolution path (AC spot →
+`entry(spark)` runs the flagship entity-resolution path (spot →
 prior link → connected-components clustering) on sf0.001.
 `queries()` / `oracle_sql()` expose every implemented operator from
-SURVEY.md §2 plus the training-data-pipeline ops, each with a DuckDB
-ANSI-SQL twin where SQL can express it (simhash_pairs and ann_lsh_topk
-are rows-only checks by design — banded hamming verification and
-hyperplane-LSH need procedural code).
+SURVEY.md §2 plus the training-data-pipeline ops — 31 queries, each
+with a DuckDB ANSI-SQL twin (the SimHash 64-bit kernel is rebuilt in
+SQL via md5-prefix hashing + per-bit majority; the sign-LSH bucket is
+an expression over literal hyperplanes inlined into both engines).
 """
 
 from __future__ import annotations
