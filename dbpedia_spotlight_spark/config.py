@@ -34,6 +34,11 @@ class PipelineParams:
     # db/tokenize/TextTokenizerFactory.scala:17-18). Must match the value
     # the model was BUILT with.
     stemmer: str | None = None
+    # score mixture (disambiguate/mixtures/*.scala): "unweighted"
+    # (default, UnweightedMixture), "linreg" (LinearRegressionMixture's
+    # hard-coded trained weights over prior + normalized context),
+    # "onlysim" (OnlySimScoreMixture — context channel alone)
+    mixture: str = "unweighted"
 
     # --- result filters (REST-facing knobs) ---
     confidence: float = 0.0

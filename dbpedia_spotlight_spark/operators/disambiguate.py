@@ -48,17 +48,57 @@ def disambiguate(
         if "window_id" in mention_candidates.columns
         else ["doc_id"]
     )
-    scored = (
-        mention_candidates.join(ctx_scores, keys + ["res_id"], "left")
-        .join(nil_scores, keys, "left")
-        .withColumn(
+    joined = mention_candidates.join(
+        ctx_scores, keys + ["res_id"], "left"
+    ).join(nil_scores, keys, "left")
+
+    mixture = getattr(params, "mixture", "unweighted")
+    if mixture == "unweighted":
+        # UnweightedMixture.scala:12-17 — ln P(s|e) + ln P(c|e) + ln P(e)
+        scored = joined.withColumn(
             "raw_score",
             F.log("cand_prior") + F.col("ctx_score") + F.log("res_prior"),
-        )
-        .withColumn(
+        ).withColumn(
             "nil_score", F.col("nil_ctx_score") + F.lit(ln_nil_pe)
         )
-    )
+    elif mixture == "onlysim":
+        # OnlySimScoreMixture — context channel alone; the NIL pseudo-
+        # candidate competes on its context share only
+        scored = joined.withColumn(
+            "raw_score", F.col("ctx_score")
+        ).withColumn("nil_score", F.col("nil_ctx_score"))
+    elif mixture == "linreg":
+        # LinearRegressionMixture.scala:15-50 over (prior, per-mention
+        # softmax-normalized context); the NIL pseudo-candidate enters
+        # with prior 1/total_annotated_count and its own context share
+        from .mixtures import linear_regression_mixture
+
+        wm0 = Window.partitionBy("mention_key")
+        mc = F.max("ctx_score").over(wm0)
+        lse = mc + F.log(
+            F.sum(F.exp(F.col("ctx_score") - mc)).over(wm0)
+            + F.exp(F.col("nil_ctx_score") - mc)
+        )
+        scored = (
+            joined.withColumn("_ctxn", F.exp(F.col("ctx_score") - lse))
+            .withColumn("_niln", F.exp(F.col("nil_ctx_score") - lse))
+            .withColumn(
+                "raw_score",
+                linear_regression_mixture(
+                    F.col("cand_prior"), F.col("_ctxn")
+                ),
+            )
+            .withColumn(
+                "nil_score",
+                linear_regression_mixture(
+                    F.lit(1.0 / model.total_annotated_count),
+                    F.col("_niln"),
+                ),
+            )
+            .drop("_ctxn", "_niln")
+        )
+    else:
+        raise ValueError(f"unknown mixture: {mixture!r}")
 
     # NIL gate (DBTwoStepDisambiguator.scala:183)
     kept = scored.filter(
