@@ -77,6 +77,36 @@ def brute_force_topk(
     )
 
 
+def embedding_neardup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine) with
+    cosine >= threshold — EXACT (the correctness baseline of the dedup
+    family; lsh_topk / ivf_topk are the sub-quadratic approximate paths
+    at corpus scale). All math is JVM column expressions."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_expr(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def make_hyperplanes(dim: int, n_bits: int = 12, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_bits, dim))
 

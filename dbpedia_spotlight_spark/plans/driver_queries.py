@@ -334,6 +334,16 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_dedup(dup, hamming_threshold=3)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline of the dedup
+    family; the LSH/IVF paths are the approximate scale variants)."""
+    from ..operators.ann import embedding_neardup
+
+    return embedding_neardup(_emb(spark, sf_dir), threshold=0.3).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
@@ -804,6 +814,16 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
 WHERE rn <= 3
 """,
+    "dedup_embedding": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM s WHERE cosine >= 0.3
+""",
     "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 10),
@@ -953,6 +973,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
+    "dedup_embedding": q_dedup_embedding,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "porter2_stems": q_porter2_stems,
