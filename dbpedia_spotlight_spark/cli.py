@@ -78,6 +78,34 @@ def main(argv=None) -> None:
     r.add_argument("--support", type=int, default=0)
     r.add_argument("--no-coref", action="store_true")
 
+    e = sub.add_parser(
+        "evaluate",
+        help="run an eval corpus end-to-end and print the metric block",
+    )
+    _add_common(e)
+    e.add_argument("--corpus", required=True,
+                   help="corpus path (format-specific: .htm dir, CoNLL "
+                        "tsv, CSAW dir, PREDOSE file)")
+    e.add_argument("--corpus-format", required=True,
+                   choices=["milnewitten", "aida", "csaw", "predose"])
+    e.add_argument("--model-dir", required=True)
+    e.add_argument("--stemmer", choices=["english"], default=None)
+    e.add_argument("--spotter", choices=["ac", "fsa"], default="ac")
+
+    iw = sub.add_parser(
+        "ingest-wiki",
+        help="tiny.corpus.tsv / wiki markup pages -> documents parquet",
+    )
+    _add_common(iw)
+    iw.add_argument("--input", required=True)
+    iw.add_argument("--input-format", default="tiny-corpus",
+                    choices=["tiny-corpus", "wiki-pages"],
+                    help="tiny-corpus: category\\turi\\ttext lines -> "
+                         "interleaved span documents; wiki-pages: "
+                         "(uri, markup) parquet -> paragraph documents "
+                         "+ link occurrences")
+    iw.add_argument("--output", required=True)
+
     args = ap.parse_args(argv)
     spark = get_spark(
         master=args.master, shuffle_partitions=args.shuffle_partitions
@@ -104,6 +132,50 @@ def main(argv=None) -> None:
                 f,
             )
         print(json.dumps({"status": "ok", "output": args.output}))
+        return
+
+    if args.cmd == "ingest-wiki":
+        if args.input_format == "tiny-corpus":
+            from .sources.wiki_corpus import (
+                read_tiny_corpus,
+                tiny_corpus_documents,
+            )
+
+            docs = tiny_corpus_documents(read_tiny_corpus(spark, args.input))
+            docs.write.mode("overwrite").parquet(f"{args.output}/documents")
+            n_occ = 0
+        else:
+            from .sources.wiki_corpus import wiki_page_occurrences
+
+            pages = spark.read.parquet(args.input)
+            docs, occs = wiki_page_occurrences(pages)
+            docs.write.mode("overwrite").parquet(f"{args.output}/documents")
+            occs.write.mode("overwrite").parquet(
+                f"{args.output}/occurrences"
+            )
+            n_occ = occs.count()
+        print(json.dumps(
+            {"status": "ok", "documents": docs.count(),
+             "occurrences": n_occ}
+        ))
+        return
+
+    if args.cmd == "evaluate":
+        from .plans.evaluation import evaluate_corpus
+        from .sources import eval_corpora as EC
+
+        readers = {
+            "milnewitten": EC.read_milne_witten,
+            "aida": EC.read_aida,
+            "predose": EC.read_predose,
+            "csaw": EC.read_csaw,
+        }
+        docs, gold = readers[args.corpus_format](spark, args.corpus)
+        model = _load_model(spark, args.model_dir)
+        stopwords = _load_stopwords(spark, args.model_dir)
+        metrics = evaluate_corpus(docs, gold, model, stopwords,
+                                  _params(args))
+        print(json.dumps({"status": "ok", **metrics}))
         return
 
     model = _load_model(spark, args.model_dir)
