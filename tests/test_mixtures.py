@@ -64,3 +64,24 @@ def test_default_mixture_unchanged(docs, model, fx):
 def test_unknown_mixture_rejected(docs, model, fx):
     with pytest.raises(Exception):
         _scored(docs, model, fx, "nonsense").collect()
+
+
+def test_combined_options_smoke(spark, fixture_dir, fx):
+    """All selectable options at once: FSA spotter + Porter2 stemming +
+    linear-regression mixture, through the full resolve() path."""
+    from dbpedia_spotlight_spark.plans.pipeline import resolve
+
+    model = model_from_fixture_dir(spark, fixture_dir, stemmer="english")
+    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    res = resolve(
+        docs,
+        model,
+        stopwords=list(fx.stopwords.word),
+        params=PipelineParams(
+            spotter="fsa", stemmer="english", mixture="linreg"
+        ),
+    )
+    clusters = res.clusters.collect()
+    assert clusters
+    # every mention gets exactly one cluster id
+    assert len({c["mention_key"] for c in clusters}) == len(clusters)
