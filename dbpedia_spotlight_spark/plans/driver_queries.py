@@ -55,14 +55,25 @@ CTX_CANDIDATES = ["src0", "src1", "src2"]
 MIN_TOKEN_COUNT = 3
 
 
+# per-session input cache: gate queries are self-contained computations,
+# but they share the INPUT — re-reading + re-spreading the corpus per
+# query would re-pay a parquet scan and a shuffle each time
+_DOCS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The testdata corpus is one small parquet file -> 1-2 input splits,
     # which would serialize every per-row-heavy stage (AC scan, minhash
-    # md5) onto 2 cores. Spread it once; at real corpus scale the file
-    # count provides this parallelism and the repartition is a no-op to
-    # remove.
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.repartition(spark.sparkContext.defaultParallelism)
+    # md5) onto 2 cores. Spread it once and cache; at real corpus scale
+    # the file count provides this parallelism and the repartition is a
+    # no-op to remove.
+    key = (id(spark), sf_dir)
+    if key not in _DOCS_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _DOCS_CACHE[key] = docs.repartition(
+            spark.sparkContext.defaultParallelism
+        ).cache()
+    return _DOCS_CACHE[key]
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
