@@ -132,3 +132,33 @@ def test_annotate_with_fsa_spotter_equals_ac(spark, fixture_dir, fx):
     a = {tuple(r) for r in res_ac.resolved.select(*cols).collect()}
     b = {tuple(r) for r in res_fsa.resolved.select(*cols).collect()}
     assert a == b
+
+
+def test_group_hashes_nonascii_fallback_matches_scalar():
+    import numpy as np
+
+    from dbpedia_spotlight_spark.operators.fsa_spotting import (
+        _group_hashes,
+        _hash_token_py,
+        _ngram_hashes,
+        _TOKEN_RE,
+    )
+
+    sfs = ["café noir", "plain words", "naïve test"]
+    got = _group_hashes(sorted(sfs), 2)
+    want = np.unique(
+        np.array(
+            [
+                _ngram_hashes(
+                    np.array(
+                        [_hash_token_py(t) for t in _TOKEN_RE.findall(s)],
+                        dtype=np.uint64,
+                    ),
+                    2,
+                )[0]
+                for s in sfs
+            ],
+            dtype=np.uint64,
+        )
+    )
+    assert (got == want).all()
