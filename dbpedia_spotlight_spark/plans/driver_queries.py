@@ -170,7 +170,13 @@ def q_pair_counts(spark, sf_dir):
 
 
 def q_spot_exact_dict(spark, sf_dir):
-    return _mentions(spark, sf_dir)
+    """The char Aho-Corasick spotter gate (spot_fsa_dict is the FSA twin
+    against the same oracle; _mentions uses FSA for the linking gates)."""
+    docs = _spanize(_docs(spark, sf_dir))
+    bc = broadcast_automaton(
+        spark, build_automaton(DICTIONARY, case_sensitive=False)
+    )
+    return spot_documents(docs, bc).select("doc_id", "begin", "sf")
 
 
 def q_spot_fsa_dict(spark, sf_dir):
