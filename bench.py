@@ -217,12 +217,13 @@ def main() -> None:
         factor = hi_n / lo_n
         pairs = []
         for _ in range(tries):
+            load1 = float(open("/proc/loadavg").read().split()[0])
             lo = scaling_job(f"local[{lo_n}]", sf_dir, parts, rep)
             hi = scaling_job(f"local[{hi_n}]", sf_dir, parts, rep)
             eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / factor
-            pairs.append((round(eff, 3), lo, hi))
+            pairs.append((round(eff, 3), lo, hi, load1))
         pairs.sort(key=lambda p: p[0])
-        eff, lo, hi = pairs[len(pairs) // 2]
+        eff, lo, hi, _ld = pairs[len(pairs) // 2]
         out = {
             "metric": f"scaling_pipeline_sec_local{hi_n}",
             "value": hi["sec"],
@@ -235,6 +236,7 @@ def main() -> None:
             f"docs_per_sec_local{hi_n}": hi["docs_per_sec"],
             f"scaling_efficiency_{lo_n}_to_{hi_n}": eff,
             "efficiency_per_pair": [p[0] for p in pairs],
+            "ambient_load1_per_pair": [p[3] for p in pairs],
             "n_mentions": hi["n_mentions"],
         }
     else:
