@@ -58,7 +58,7 @@ MIN_TOKEN_COUNT = 3
 # per-session input cache: gate queries are self-contained computations,
 # but they share the INPUT — re-reading + re-spreading the corpus per
 # query would re-pay a parquet scan and a shuffle each time
-_DOCS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_DOCS_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,13 +67,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5) onto 2 cores. Spread it once and cache; at real corpus scale
     # the file count provides this parallelism and the repartition is a
     # no-op to remove.
+    # keyed by id() but the session is kept in the value so a recycled
+    # id from a stopped session cannot alias (same pattern as the
+    # spotting automaton cache)
     key = (id(spark), sf_dir)
-    if key not in _DOCS_CACHE:
+    entry = _DOCS_CACHE.get(key)
+    if entry is None or entry[0] is not spark:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        _DOCS_CACHE[key] = docs.repartition(
-            spark.sparkContext.defaultParallelism
-        ).cache()
-    return _DOCS_CACHE[key]
+        entry = (
+            spark,
+            docs.repartition(
+                spark.sparkContext.defaultParallelism
+            ).cache(),
+        )
+        _DOCS_CACHE[key] = entry
+    return entry[1]
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
