@@ -131,3 +131,68 @@ def test_fsa_all_matches_are_word_bounded_ac_matches(patterns, text):
         assert b == 0 or is_boundary(text[b - 1])
         assert e >= len(text) or is_boundary(text[e])
         assert text[b:e] == sf
+
+
+# ---------------------------------------------------------------------------
+# MilneWitten render/parse round trip
+# ---------------------------------------------------------------------------
+
+clean_texts = st.text(alphabet="abcxyz ,.()-\n", min_size=0, max_size=80)
+link_words = st.text(alphabet="abcxyz", min_size=1, max_size=8)
+
+
+@given(
+    clean_texts,
+    st.lists(st.tuples(link_words, link_words), min_size=0, max_size=5),
+    st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_milne_witten_roundtrip_property(text, links, data):
+    """Inserting [[uri|sf]] markup at arbitrary positions must parse back
+    to the exact clean text with exact offsets."""
+    from dbpedia_spotlight_spark.sources.eval_corpora import (
+        parse_milne_witten,
+    )
+
+    # choose insertion points right-to-left so offsets stay valid
+    positions = sorted(
+        (data.draw(st.integers(0, len(text))) for _ in links), reverse=True
+    )
+    marked = text
+    expected = []
+    clean = text
+    for (uri, sf), pos in zip(links, positions):
+        marked = marked[:pos] + f"[[{uri}|{sf}]]" + marked[pos:]
+        clean = clean[:pos] + sf + clean[pos:]
+    occs, got_clean = parse_milne_witten(marked)
+    assert got_clean == clean
+    assert len(occs) == len(links)
+    for uri, sf, off, conf in occs:
+        assert got_clean[off:off + len(sf)] == sf
+        assert conf == 1.0
+
+
+@given(st.lists(st.tuples(link_words, st.booleans()), min_size=1,
+                max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_aida_offsets_property(tokens):
+    """Every B-tagged token's offset points at its surface form in the
+    rebuilt text, regardless of glue-token placement."""
+    from dbpedia_spotlight_spark.sources.eval_corpora import (
+        parse_aida_lines,
+    )
+
+    lines = ["-DOCSTART- (1 T)"]
+    glue = ["'s", ":", ",", "!", "."]
+    for i, (w, tagged) in enumerate(tokens):
+        if tagged:
+            lines.append(f"{w}\tB\t{w}\tUri_{w}\tTYPE")
+        elif i % 4 == 3:
+            lines.append(glue[i % 5])
+        else:
+            lines.append(w)
+    docs = parse_aida_lines(lines)
+    assert len(docs) == 1
+    d = docs[0]
+    for uri, sf, off in d["occs"]:
+        assert d["text"][off:off + len(sf)] == sf
