@@ -74,6 +74,10 @@ def annotate(
     win_tokens, span_map = window_token_arrays(
         documents, stopwords, params.max_context, stemmer=params.stemmer
     )
+    # win_tokens feeds BOTH the candidate context scores and the NIL
+    # scores — cached, or the tokenize+window subtree (which re-reads the
+    # input) expands once per reference (measured ~20% of annotate)
+    win_tokens = win_tokens.cache()
     # mentions (a pandas-UDF scan) and span_map (an applyInPandas for long
     # docs) are each referenced by several downstream joins — cache them
     # or Catalyst re-runs the Python stages per reference
