@@ -107,13 +107,17 @@ def porter2_stem(word: str) -> str:  # noqa: C901 (spec is a rule list)
     if w in _EXCEPTIONS:
         return _EXCEPTIONS[w]
 
-    # mark consonant y as Y (initial y, or y after a vowel)
+    # mark consonant y as Y (initial y, or y after a vowel); scan left to
+    # right against the progressively rewritten string so a just-marked Y
+    # (consonant) does not make the NEXT y count as vowel-preceded
+    # (e.g. "sayyid": first y -> Y, second y stays a vowel).
     if w[0] == "y":
         w = "Y" + w[1:]
-    w = "".join(
-        "Y" if c == "y" and w[i - 1] in _VOWELS else c
-        for i, c in enumerate(w)
-    )
+    chars = list(w)
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _VOWELS:
+            chars[i] = "Y"
+    w = "".join(chars)
 
     # step 0: strip apostrophe suffixes
     for suf in ("'s'", "'s", "'"):

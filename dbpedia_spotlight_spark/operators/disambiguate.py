@@ -68,35 +68,21 @@ def disambiguate(
             "raw_score", F.col("ctx_score")
         ).withColumn("nil_score", F.col("nil_ctx_score"))
     elif mixture == "linreg":
-        # LinearRegressionMixture.scala:15-50 over (prior, per-mention
-        # softmax-normalized context); the NIL pseudo-candidate enters
-        # with prior 1/total_annotated_count and its own context share
-        from .mixtures import linear_regression_mixture
+        # LinearRegressionMixture.scala:49-53 ACTIVE getScore body:
+        #   1234.3989·resource.prior + 0.9968·contextualScore − 0.0275
+        # contextualScore here is the RAW ln context score (normalization
+        # happens only afterwards, DBTwoStepDisambiguator.scala:195-200)
+        # and prior is P(e). The NIL pseudo-candidate reaches getScore with
+        # the constructor defaults (prior 0.0, contextualScore −1), so its
+        # mixture score is the constant LINREG_NIL_SCORE.
+        from .mixtures import LINREG_NIL_SCORE, linear_regression_mixture
 
-        wm0 = Window.partitionBy("mention_key")
-        mc = F.max("ctx_score").over(wm0)
-        lse = mc + F.log(
-            F.sum(F.exp(F.col("ctx_score") - mc)).over(wm0)
-            + F.exp(F.col("nil_ctx_score") - mc)
-        )
-        scored = (
-            joined.withColumn("_ctxn", F.exp(F.col("ctx_score") - lse))
-            .withColumn("_niln", F.exp(F.col("nil_ctx_score") - lse))
-            .withColumn(
-                "raw_score",
-                linear_regression_mixture(
-                    F.col("cand_prior"), F.col("_ctxn")
-                ),
-            )
-            .withColumn(
-                "nil_score",
-                linear_regression_mixture(
-                    F.lit(1.0 / model.total_annotated_count),
-                    F.col("_niln"),
-                ),
-            )
-            .drop("_ctxn", "_niln")
-        )
+        scored = joined.withColumn(
+            "raw_score",
+            linear_regression_mixture(
+                F.col("res_prior"), F.col("ctx_score")
+            ),
+        ).withColumn("nil_score", F.lit(LINREG_NIL_SCORE))
     else:
         raise ValueError(f"unknown mixture: {mixture!r}")
 

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_PARAMS, PipelineParams
-from .ahocorasick import BOUNDARY_CHARS
+from .ahocorasick import BOUNDARY_CHARS, AhoCorasick, is_boundary
 from .spotting import MENTIONS_SCHEMA
 
 # token = maximal run of non-boundary characters (same boundary set as
@@ -166,14 +166,26 @@ class FSADictionary:
     """Broadcastable token-n-gram dictionary.
 
     Per phrase length n: the np.uint64 set of combined token hashes plus
-    the exact lowercase phrase set for hit verification. Entries with a
-    leading/trailing boundary character are rejected (cannot be token
-    aligned; the AC spotter covers that degenerate class)."""
+    the exact (lowercased unless case_sensitive) phrase set for hit
+    verification. Entries with a leading/trailing boundary character
+    cannot be token aligned; `on_boundary` picks the policy:
+      * "raise"  — ValueError (strict; default for direct construction)
+      * "ac"     — route them to an embedded Aho-Corasick residue
+                   automaton scanned alongside the FSA (the pipeline
+                   path: real models contain 'Yahoo!', 'U.S.', …)
+      * "skip"   — drop them (recorded in self.skipped)
+    """
 
-    __slots__ = ("by_n", "max_n")
+    __slots__ = ("by_n", "max_n", "case_sensitive", "residue", "skipped")
 
-    def __init__(self, surface_forms):
+    def __init__(self, surface_forms, case_sensitive: bool = False,
+                 on_boundary: str = "raise"):
+        if on_boundary not in ("raise", "ac", "skip"):
+            raise ValueError(f"on_boundary: {on_boundary!r}")
+        self.case_sensitive = case_sensitive
+        self.skipped: list[str] = []
         groups: dict[int, set[str]] = {}
+        seen: set[str] = set()
         for s in surface_forms:
             if not s:
                 continue
@@ -181,10 +193,17 @@ class FSADictionary:
                 s[0] in BOUNDARY_CHARS or s[-1] in BOUNDARY_CHARS
                 or s[0].isspace() or s[-1].isspace()
             ):
-                raise ValueError(
-                    f"surface form starts/ends with a boundary char: {s!r}"
-                )
-            low = s.lower()
+                if on_boundary == "raise":
+                    raise ValueError(
+                        "surface form starts/ends with a boundary char: "
+                        f"{s!r}"
+                    )
+                key = s if case_sensitive else s.lower()
+                if key not in seen:
+                    seen.add(key)
+                    self.skipped.append(s)
+                continue
+            low = s if case_sensitive else s.lower()
             toks = _TOKEN_RE.findall(low)
             if not toks:
                 continue
@@ -193,11 +212,18 @@ class FSADictionary:
         for n, sfs in groups.items():
             self.by_n[n] = (_group_hashes(sorted(sfs), n), frozenset(sfs))
         self.max_n = max(self.by_n) if self.by_n else 1
+        self.residue = (
+            AhoCorasick(self.skipped, case_sensitive=case_sensitive)
+            if on_boundary == "ac" and self.skipped
+            else None
+        )
 
 
 def build_fsa_dictionary(
     surface_forms,
     min_annotation_probability: float | None = None,
+    case_sensitive: bool = False,
+    on_boundary: str = "raise",
 ) -> FSADictionary:
     """From an iterable or the surface_form_stats table.
     `min_annotation_probability` mirrors the reference's FSA dictionary
@@ -210,12 +236,19 @@ def build_fsa_dictionary(
                 >= min_annotation_probability
             )
         surface_forms = [r["sf"] for r in df.select("sf").collect()]
-    return FSADictionary(surface_forms)
+    return FSADictionary(
+        surface_forms, case_sensitive=case_sensitive, on_boundary=on_boundary
+    )
 
 
 def _scan_span(text: str, fsa: FSADictionary) -> list[tuple[int, int, str]]:
-    """All word-bounded dictionary matches in one span: (b, e, sf_raw)."""
-    low = text.lower()
+    """All word-bounded dictionary matches in one span: (b, e, sf_raw).
+
+    Includes word-bounded matches of the boundary-edged residue automaton
+    when the dictionary carries one (on_boundary="ac"); bound-checking
+    residue hits BEFORE the greedy sweep is equivalent to the AC path's
+    in-sweep check (a non-bounded match neither survives nor blocks)."""
+    low = text if fsa.case_sensitive else text.lower()
     if low.isascii():
         s_arr, e_arr, h = _token_bounds_and_hashes_ascii(low)
     else:
@@ -224,20 +257,29 @@ def _scan_span(text: str, fsa: FSADictionary) -> list[tuple[int, int, str]]:
         s_arr = np.array([m[0] for m in ms], dtype=np.int64)
         e_arr = np.array([m[1] for m in ms], dtype=np.int64)
         h = np.array([_hash_token_py(m[2]) for m in ms], dtype=np.uint64)
-    n_tok = len(h)
-    if n_tok == 0:
-        return []
     out: list[tuple[int, int, str]] = []
-    for n, (hashes, sf_set) in fsa.by_n.items():
-        if n > n_tok:
-            continue
-        gh = _ngram_hashes(h, n)
-        hit_idx = np.nonzero(np.isin(gh, hashes))[0]
-        for i in hit_idx:
-            b = int(s_arr[i])
-            e = int(e_arr[i + n - 1])
-            if low[b:e] in sf_set:  # exact verify: collisions + separators
-                out.append((b, e, text[b:e]))
+    n_tok = len(h)
+    if n_tok:
+        for n, (hashes, sf_set) in fsa.by_n.items():
+            if n > n_tok:
+                continue
+            gh = _ngram_hashes(h, n)
+            hit_idx = np.nonzero(np.isin(gh, hashes))[0]
+            for i in hit_idx:
+                b = int(s_arr[i])
+                e = int(e_arr[i + n - 1])
+                if low[b:e] in sf_set:  # exact verify: collisions+separators
+                    out.append((b, e, text[b:e]))
+    residue = fsa.residue
+    if residue is not None:
+        nchars = len(text)
+        for start, ln in residue.find_all(text):
+            end = start + ln
+            if start != 0 and not is_boundary(text[start - 1]):
+                continue
+            if end < nchars and not is_boundary(text[end]):
+                continue
+            out.append((start, end, text[start:end]))
     return out
 
 

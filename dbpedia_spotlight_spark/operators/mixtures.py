@@ -5,9 +5,13 @@ classes:
   * UnweightedMixture — sum of log features
     (disambiguate/mixtures/UnweightedMixture.scala:12-17); the default,
     inlined in operators/disambiguate.py
-  * LinearRegressionMixture — the hard-coded trained weights
-    (disambiguate/mixtures/LinearRegressionMixture.scala:15-50:
-     6617.888·prior + 0.7886·ctx_norm + 0.2214)
+  * LinearRegressionMixture — the ACTIVE getScore body
+    (disambiguate/mixtures/LinearRegressionMixture.scala:49-53:
+     1234.3989·resource.prior + 0.9968·contextualScore − 0.0275, where
+     contextualScore is the RAW ln context score — softmax normalization
+     happens after getScore at DBTwoStepDisambiguator.scala:195-200 — and
+     prior is P(e), the resource prior). The 6617.888/0.7886/0.2214
+    fields earlier in that file are dead code never read by getScore.
   * OnlySimScoreMixture — context channel alone
 """
 
@@ -25,9 +29,20 @@ def unweighted_mixture(*log_features: Column) -> Column:
     return out
 
 
-def linear_regression_mixture(prior: Column, ctx_norm: Column) -> Column:
-    """LinearRegressionMixture.scala:15-50 hard-coded coefficients."""
-    return 6617.888 * prior + 0.7886 * ctx_norm + 0.2214
+def linear_regression_mixture(res_prior: Column, ctx_raw: Column) -> Column:
+    """LinearRegressionMixture.scala:49-53 active getScore coefficients.
+
+    ``res_prior`` is P(e) (resource prior, linear scale), ``ctx_raw`` is the
+    raw ln context score.
+    """
+    return 1234.3989 * res_prior + 0.9968 * ctx_raw - 0.0275
+
+
+# The reference's NIL pseudo-candidate reaches getScore with the model-class
+# constructor defaults (DBpediaResource.scala:26 prior=0.0,
+# DBpediaResourceOccurrence.scala:28 contextualScore=-1): the P(c|e)/P(e)
+# Score FEATURES set on eNIL are not read by LinearRegressionMixture.
+LINREG_NIL_SCORE = 1234.3989 * 0.0 + 0.9968 * (-1.0) - 0.0275
 
 
 def only_sim_score_mixture(ctx_score: Column) -> Column:

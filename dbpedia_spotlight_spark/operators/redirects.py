@@ -163,7 +163,14 @@ def resolve_redirects_df(occs: DataFrame, redirects: DataFrame,
     """
     spark = occs.sparkSession
     if redirects.count() <= max_driver_edges:
-        pairs = {r["src_uri"]: r["dst_uri"] for r in redirects.collect()}
+        # Canonicalize duplicate src rows (min dst) BEFORE collecting so the
+        # driver path matches close_redirects_distributed exactly; a raw
+        # dict comprehension over collect() is last-row-wins with
+        # nondeterministic order.
+        canon = redirects.groupBy("src_uri").agg(
+            F.min("dst_uri").alias("dst_uri")
+        )
+        pairs = {r["src_uri"]: r["dst_uri"] for r in canon.collect()}
         closed = close_redirects(pairs)
         if not closed:
             return occs.withColumn(out_col, F.col(uri_col))

@@ -54,8 +54,16 @@ def annotate(
         )
 
         if automaton_bc is None:
+            # on_boundary="ac": real models contain boundary-edged surface
+            # forms ('Yahoo!', 'U.S.') that cannot be token-aligned — they
+            # route to an embedded AC residue automaton instead of raising.
             automaton_bc = broadcast_fsa_dictionary(
-                spark, build_fsa_dictionary(model.surface_form_stats)
+                spark,
+                build_fsa_dictionary(
+                    model.surface_form_stats,
+                    case_sensitive=params.case_sensitive,
+                    on_boundary="ac",
+                ),
             )
         spot = lambda docs: spot_documents_fsa(docs, automaton_bc, params)
     else:

@@ -97,6 +97,77 @@ def test_fsa_dictionary_rejects_boundary_edged_entries():
         build_fsa_dictionary(["bad "])
 
 
+def _docs_from_texts(spark, texts):
+    rows = [
+        (f"d{i}",
+         [{"kind": "text", "text": t, "media_ref": "", "offset": 0}])
+        for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_fsa_boundary_residue_equals_ac(spark, overlap):
+    """on_boundary='ac' routes 'Yahoo!'/'U.S.'-style entries to the
+    embedded residue automaton; combined output must equal the pure-AC
+    spotter over the SAME dictionary (greedy runs over the union)."""
+    sfs = ["Yahoo!", "U.S.", "New York", "York", "spark"]
+    texts = [
+        "Yahoo! bought a spark of New York",
+        "the U.S. and new york; U.S.A. is different",
+        "yahoo!alone and Yahoo! alone",
+        "no matches",
+    ]
+    docs = _docs_from_texts(spark, texts)
+    params = PipelineParams(overlap=overlap)
+    ac = broadcast_automaton(spark, build_automaton(sfs))
+    got_ac = _mentions_set(spot_documents(docs, ac, params))
+    d = broadcast_fsa_dictionary(
+        spark, build_fsa_dictionary(sfs, on_boundary="ac")
+    )
+    got_fsa = _mentions_set(spot_documents_fsa(docs, d, params))
+    if overlap:
+        # AC emits even mid-word matches with overlap=True; the FSA path
+        # only word-bounded ones — subset, and equal after bound filtering
+        assert got_fsa <= got_ac
+        assert any(m[4] == "Yahoo!" for m in got_fsa)
+    else:
+        assert got_fsa == got_ac
+        assert any(m[4] == "Yahoo!" for m in got_fsa)
+        assert any(m[4] == "U.S." for m in got_fsa)
+
+
+def test_fsa_on_boundary_skip_records_skipped():
+    d = build_fsa_dictionary(
+        ["Yahoo!", "plain"], on_boundary="skip"
+    )
+    assert d.skipped == ["Yahoo!"]
+    assert d.residue is None
+
+
+def test_fsa_case_sensitive(spark):
+    sfs = ["Spark", "New York"]
+    texts = ["Spark and spark in New York and new york"]
+    docs = _docs_from_texts(spark, texts)
+    params = PipelineParams(case_sensitive=True)
+    ac = broadcast_automaton(
+        spark, build_automaton(sfs, case_sensitive=True)
+    )
+    got_ac = _mentions_set(spot_documents(docs, ac, params))
+    d = broadcast_fsa_dictionary(
+        spark, build_fsa_dictionary(sfs, case_sensitive=True)
+    )
+    got_fsa = _mentions_set(spot_documents_fsa(docs, d, params))
+    assert got_fsa == got_ac
+    matched = {m[4] for m in got_fsa}
+    assert "Spark" in matched and "New York" in matched
+    assert "spark" not in matched and "new york" not in matched
+
+
 def test_fsa_multiword_offsets(spark):
     docs = spark.createDataFrame(
         [(

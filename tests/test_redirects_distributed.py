@@ -88,6 +88,24 @@ def test_resolve_redirects_df_gated_paths_agree(spark):
     assert a == b
 
 
+def test_duplicate_src_rows_deterministic_min_dst(spark):
+    """A src with multiple dst rows must canonicalize to min(dst) in BOTH
+    the driver and distributed strategies (the driver path previously did
+    last-row-wins over a nondeterministic collect order)."""
+    rows = [("a", "z1"), ("a", "b"), ("a", "m"), ("b", "c"), ("z1", "zz")]
+    redirects = spark.createDataFrame(rows, "src_uri string, dst_uri string")
+    occs = spark.createDataFrame([("a",), ("b",)], "uri_raw string")
+    # min dst for 'a' is 'b' -> chases b -> c
+    for max_edges in (10_000, 0):
+        got = {
+            r["uri_raw"]: r["uri"]
+            for r in resolve_redirects_df(
+                occs, redirects, max_driver_edges=max_edges
+            ).collect()
+        }
+        assert got == {"a": "c", "b": "c"}, f"max_edges={max_edges}: {got}"
+
+
 def test_distributed_empty(spark):
     empty = spark.createDataFrame([], "src_uri string, dst_uri string")
     assert close_redirects_distributed(empty).count() == 0

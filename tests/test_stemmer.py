@@ -81,6 +81,18 @@ def test_porter2_vectors(word, expected):
     assert porter2_stem(word) == expected
 
 
+def test_porter2_consecutive_y_marking():
+    """Snowball marks y->Y left to right against the REWRITTEN string: in
+    a vowel-y-y run the first y becomes consonant Y, so the second y stays
+    a vowel. 'sayydize' discriminates: correct marking 'saYydize' puts R2
+    at 5 so step 4 strips 'ize' -> 'sayyd'; marking both y's consonant
+    leaves R2 at 7 and the word unstemmed."""
+    assert porter2_stem("sayydize") == "sayyd"
+    assert porter2_stem("sayyid") == "sayyid"
+    # vowel-y at word end after consonant-Y still step-1c's to i
+    assert porter2_stem("sayy") == "sayi"
+
+
 def test_porter2_uppercase_and_edge_inputs():
     assert porter2_stem("BUYING") == "buy"  # reference lowercases first
     assert porter2_stem("") == ""
