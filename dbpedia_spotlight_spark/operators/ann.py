@@ -77,16 +77,21 @@ def brute_force_topk(
     )
 
 
-def embedding_neardup(
+# Above this row count, embedding_neardup(method="auto") switches from
+# the exact O(n²) crossJoin to the banded sign-LSH bucket join. The exact
+# path is the correctness baseline / oracle twin; at corpus scale nothing
+# should ever run it (a 10^12-row cross product is 10^24 pairs).
+NEARDUP_EXACT_MAX_ROWS = 100_000
+
+
+def embedding_neardup_exact(
     corpus: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine) with
-    cosine >= threshold — EXACT (the correctness baseline of the dedup
-    family; lsh_topk / ivf_topk are the sub-quadratic approximate paths
-    at corpus scale). All math is JVM column expressions."""
+    """Exact all-pairs near-dup: (id_a < id_b, cosine >= threshold).
+    O(n²) by construction — small-N / oracle path only."""
     a = corpus.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("va"),
@@ -104,6 +109,109 @@ def embedding_neardup(
             cosine_expr(F.col("va"), F.col("vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _band_codes_udf(planes_bc, n_bands: int, band_bits: int):
+    from pyspark.sql.types import ArrayType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def codes(vectors: pd.Series) -> pd.Series:
+        planes = planes_bc.value  # (n_bands*band_bits, dim)
+        mat = np.stack(vectors.to_numpy())  # (batch, dim)
+        signs = (mat @ planes.T > 0).reshape(-1, n_bands, band_bits)
+        weights = 1 << np.arange(band_bits)
+        band = (signs * weights).sum(axis=2).astype("int32")  # (batch, bands)
+        return pd.Series([row.tolist() for row in band])
+
+    return codes
+
+
+def embedding_neardup_approx(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    band_bits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded sign-LSH near-dup: same output contract as the exact path
+    but sub-quadratic — a pair is a candidate iff it agrees on ALL bits of
+    at least one band (for cosine 0.9, p_bit ≈ 0.857: 8 bands × 4 bits
+    give ≈ 0.998 recall), then candidates are exactly cosine-verified.
+
+    Scale shape: one Arrow matrix product per batch for the band codes,
+    an equi-join on (band, code) — bucket sizes ~n/2^band_bits per band —
+    a distinct on the candidate pair, and an O(candidates) verify. No
+    cross product anywhere."""
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = make_hyperplanes(dim, n_bands * band_bits, seed)
+    planes_bc = spark.sparkContext.broadcast(planes)
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    coded = base.withColumn(
+        "codes", _band_codes_udf(planes_bc, n_bands, band_bits)(F.col("v"))
+    ).select("_id", "v", F.posexplode("codes").alias("band", "code"))
+    a = coded.select(
+        F.col("_id").alias("id_a"), "band", "code"
+    )
+    b = coded.select(
+        F.col("_id").alias("id_b"), "band", "code"
+    )
+    cand = (
+        a.join(b, ["band", "code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair can collide in several bands — verify once
+    )
+    va = base.select(F.col("_id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_expr(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "auto",
+    exact_max_rows: int = NEARDUP_EXACT_MAX_ROWS,
+    **approx_kw,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine) with
+    cosine >= threshold.
+
+    method: "auto" (default) runs the exact crossJoin up to
+    `exact_max_rows` rows and the banded sign-LSH bucket join above it;
+    "exact" / "lsh" force a path. The default is the size-gated routing —
+    a user calling the near-dup API at corpus scale must never get the
+    O(n²) plan (same discipline as operators/redirects.py and the
+    dedup LSH family)."""
+    if method == "exact":
+        return embedding_neardup_exact(corpus, threshold, id_col, vec_col)
+    if method == "lsh":
+        return embedding_neardup_approx(
+            corpus, threshold, id_col=id_col, vec_col=vec_col, **approx_kw
+        )
+    if method != "auto":
+        raise ValueError(f"unknown method: {method!r}")
+    if corpus.count() <= exact_max_rows:
+        return embedding_neardup_exact(corpus, threshold, id_col, vec_col)
+    return embedding_neardup_approx(
+        corpus, threshold, id_col=id_col, vec_col=vec_col, **approx_kw
     )
 
 

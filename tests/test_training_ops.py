@@ -113,6 +113,82 @@ def test_ivf_topk_recall(vectors):
     assert agree / len(bf) >= 0.8
 
 
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """60 clusters x 4 members (base + 3 tiny perturbations): every
+    within-cluster pair is a genuine near-dup at cosine >= 0.99."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(60):
+        base = rng.standard_normal(16)
+        base /= np.linalg.norm(base)
+        for m in range(4):
+            v = base + 0.005 * rng.standard_normal(16) * (m > 0)
+            rows.append((c * 10 + m, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_embedding_neardup_approx_recall_vs_exact(clustered_vectors):
+    from dbpedia_spotlight_spark.operators.ann import (
+        embedding_neardup_approx,
+        embedding_neardup_exact,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_exact(
+            clustered_vectors, threshold=0.95
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_approx(
+            clustered_vectors, threshold=0.95
+        ).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    # no false positives possible: candidates are exactly cosine-verified
+    assert approx <= exact
+    assert len(approx) / len(exact) >= 0.95  # banded-LSH recall
+
+
+def test_embedding_neardup_auto_routes_by_size(clustered_vectors):
+    """method='auto' must pick the exact crossJoin under the gate and the
+    bucketed join above it — plan-asserted (no cartesian product on the
+    oversized input)."""
+    from dbpedia_spotlight_spark.operators.ann import embedding_neardup
+
+    small_plan = embedding_neardup(
+        clustered_vectors, threshold=0.95, exact_max_rows=10_000
+    )._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "CartesianProduct" in small_plan
+        or "BroadcastNestedLoopJoin" in small_plan
+    )
+    big_plan = embedding_neardup(
+        clustered_vectors, threshold=0.95, exact_max_rows=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in big_plan
+    assert "BroadcastNestedLoopJoin" not in big_plan
+
+    # and the routed result is still (a subset of) the exact pair set
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup(
+            clustered_vectors, threshold=0.95, method="exact"
+        ).collect()
+    }
+    routed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup(
+            clustered_vectors, threshold=0.95, exact_max_rows=10
+        ).collect()
+    }
+    assert routed <= exact and len(routed) / len(exact) >= 0.95
+
+
 def test_lsh_topk_agrees_with_brute_force_mostly(vectors):
     bf = {
         r["query_id"]: r["neighbor_id"]
