@@ -40,12 +40,25 @@ MENTIONS_SCHEMA = (
 _AUTOMATON_CACHE: dict[int, tuple[object, AhoCorasick]] = {}
 
 
+def iter_column_strings(df: DataFrame, column: str = "sf"):
+    """Stream a string column to the driver WITHOUT materializing the full
+    row list: toLocalIterator buffers one partition at a time (plus one
+    prefetched), so driver RSS during a dictionary build is bounded by the
+    built structure + one partition, not by an O(dictionary) list of Row
+    objects on top of it. At 10^7 surface forms the difference is GBs."""
+    for row in df.select(column).toLocalIterator(prefetchPartitions=True):
+        v = row[0]
+        if v is not None:
+            yield v
+
+
 def build_automaton(
     surface_forms, case_sensitive: bool = False
 ) -> AhoCorasick:
-    """Driver-side build from an iterable or the surface_form_stats DF."""
+    """Driver-side build from an iterable or the surface_form_stats DF
+    (streamed — the trie consumes entries incrementally)."""
     if isinstance(surface_forms, DataFrame):
-        surface_forms = [r["sf"] for r in surface_forms.select("sf").collect()]
+        surface_forms = iter_column_strings(surface_forms, "sf")
     return AhoCorasick(surface_forms, case_sensitive=case_sensitive)
 
 
