@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import PipelineParams
+from ..fixtures.porter2_vectors import VECTORS as _P2_VECTORS
 from ..functions.normalize import sf_normalize_expr, sf_normalize_sql
 from ..functions.similarity import (
     edit_distance_score_expr,
@@ -424,6 +425,21 @@ def q_porter2_stems(spark, sf_dir):
         F.explode(tokenize_expr(F.col("text"))).alias("token")
     )
     return stem_map(toks, "token")
+
+
+def q_porter2_vectors(spark, sf_dir):
+    """The full 339-pair spec-derived stem table pushed through the
+    stem_map dictionary-join scale path — the DuckDB twin is a literal
+    VALUES map of the same hand-derived pairs (fixtures/porter2_vectors),
+    so this gate discriminates over every Porter2 rule family, not just
+    the corpus vocabulary."""
+    from ..fixtures.porter2_vectors import VECTORS
+    from ..functions.stem import stem_map
+
+    words = spark.createDataFrame(
+        [(w,) for w in sorted(VECTORS)], "token string"
+    )
+    return stem_map(words, "token")
 
 
 def q_token_counts_stemmed(spark, sf_dir):
@@ -907,6 +923,16 @@ WHERE rn <= 3
         " SELECT v.token, coalesce(m.stem, v.token) AS stem"
         " FROM v LEFT JOIN m USING (token)"
     ),
+    # the entire 339-pair hand-derived table as a literal map — the Spark
+    # side must reproduce each stem; a regression in ANY rule family
+    # hash-mismatches here (fixtures/porter2_vectors.py)
+    "porter2_vectors": (
+        "SELECT token, stem FROM (VALUES "
+        + ", ".join(
+            f"('{w}', '{s}')" for w, s in sorted(_P2_VECTORS.items())
+        )
+        + ") AS m(token, stem)"
+    ),
     "token_counts_stemmed": (
         f"WITH {_TOK_CTE},"
         f" m(token, stem) AS (VALUES {_STEM_VALUES_SQL})"
@@ -1037,6 +1063,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "porter2_stems": q_porter2_stems,
+    "porter2_vectors": q_porter2_vectors,
     "token_counts_stemmed": q_token_counts_stemmed,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,

@@ -1,79 +1,21 @@
 """Porter2 (Snowball English) stemmer: algorithm vectors + Spark wiring.
 
-Vector sources: the reference's own SnowballStemmerTest.scala
-(buying->buy, ponies->poni) and cases hand-derived from the published
-Snowball English algorithm, including every rule's illustrative example
-and both exception lists.
+Vector table: dbpedia_spotlight_spark/fixtures/porter2_vectors.py — 339
+hand-derived pairs from the published Snowball English algorithm (and the
+reference's SnowballStemmerTest.scala), shared with the porter2_vectors
+driver gate so the DuckDB oracle discriminates over the same table.
 """
 
 import pytest
 from pyspark.sql import functions as F
 
+from dbpedia_spotlight_spark.fixtures.porter2_vectors import VECTORS
 from dbpedia_spotlight_spark.functions.stem import (
     porter2_stem,
     porter2_udf,
     stem_map,
     stem_tokens,
 )
-
-VECTORS = {
-    # reference SnowballStemmerTest.scala
-    "buying": "buy", "ponies": "poni",
-    # step 1a
-    "caresses": "caress", "ties": "tie", "cries": "cri", "dies": "die",
-    "denied": "deni", "gas": "gas", "gaps": "gap", "kiwis": "kiwi",
-    "mules": "mule", "this": "this",
-    # step 1b (+ step-5 e handling downstream)
-    "agreed": "agre", "feed": "feed", "hoped": "hope", "hopping": "hop",
-    "hoping": "hope", "luxuriated": "luxuri", "disabled": "disabl",
-    # step 1c
-    "cry": "cri", "by": "by", "say": "say", "enjoy": "enjoy",
-    # steps 2-4 chains
-    "consistency": "consist", "consolidated": "consolid",
-    "generate": "generat", "generously": "generous",
-    "communism": "communism", "agreement": "agreement",
-    "conditional": "condit", "rational": "ration",
-    "valency": "valenc", "hesitancy": "hesit",
-    "digitizer": "digit", "conformabli": "conform", "radicalli": "radic",
-    "differentli": "differ", "vileli": "vile", "analogousli": "analog",
-    "vietnamization": "vietnam", "predication": "predic",
-    "operator": "oper", "feudalism": "feudal", "decisiveness": "decis",
-    "hopefulness": "hope", "callousness": "callous", "formaliti": "formal",
-    "sensitiviti": "sensit", "sensibiliti": "sensibl",
-    "triplicate": "triplic", "formative": "format", "formalize": "formal",
-    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
-    "goodness": "good",
-    "revival": "reviv", "allowance": "allow", "inference": "infer",
-    "airliner": "airlin", "gyroscopic": "gyroscop", "adjustable": "adjust",
-    "defensible": "defens", "irritant": "irrit", "replacement": "replac",
-    "adjustment": "adjust", "dependent": "depend", "adoption": "adopt",
-    "activate": "activ", "angulariti": "angular", "homologous": "homolog",
-    "effective": "effect", "bowdlerize": "bowdler",
-    "probate": "probat", "rate": "rate", "cease": "ceas",
-    "controll": "control", "roll": "roll",
-    # exception list 1
-    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
-    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
-    "early": "earli", "only": "onli", "singly": "singl", "sky": "sky",
-    "news": "news", "atlas": "atlas", "cosmos": "cosmos", "bias": "bias",
-    "andes": "andes",
-    # exception list 2 (invariant after step 1a)
-    "inning": "inning", "outing": "outing", "canning": "canning",
-    "herring": "herring", "earring": "earring", "proceed": "proceed",
-    "exceed": "exceed", "succeed": "succeed",
-    # short words / y-marking
-    "a": "a", "be": "be", "ox": "ox", "yes": "yes", "yellow": "yellow",
-    # the fixed 31-word driver-testdata vocabulary (hand-derived; the
-    # token_counts_stemmed oracle embeds this same mapping)
-    "agg": "agg", "batch": "batch", "big": "big", "column": "column",
-    "customer": "custom", "data": "data", "dup": "dup", "fast": "fast",
-    "filter": "filter", "group": "group", "hash": "hash", "join": "join",
-    "key": "key", "line": "line", "merge": "merg", "order": "order",
-    "part": "part", "query": "queri", "row": "row", "scan": "scan",
-    "slow": "slow", "small": "small", "sort": "sort", "spark": "spark",
-    "stream": "stream", "table": "tabl", "the": "the", "value": "valu",
-    "vector": "vector", "window": "window",
-}
 
 
 @pytest.mark.parametrize("word,expected", sorted(VECTORS.items()))
