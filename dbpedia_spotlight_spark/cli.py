@@ -99,11 +99,12 @@ def main(argv=None) -> None:
     _add_common(iw)
     iw.add_argument("--input", required=True)
     iw.add_argument("--input-format", default="tiny-corpus",
-                    choices=["tiny-corpus", "wiki-pages"],
+                    choices=["tiny-corpus", "wiki-pages", "xml-dump"],
                     help="tiny-corpus: category\\turi\\ttext lines -> "
                          "interleaved span documents; wiki-pages: "
                          "(uri, markup) parquet -> paragraph documents "
-                         "+ link occurrences")
+                         "+ link occurrences; xml-dump: MediaWiki XML "
+                         "dump file (main namespace, redirects dropped)")
     iw.add_argument("--output", required=True)
 
     args = ap.parse_args(argv)
@@ -145,9 +146,15 @@ def main(argv=None) -> None:
             docs.write.mode("overwrite").parquet(f"{args.output}/documents")
             n_occ = 0
         else:
-            from .sources.wiki_corpus import wiki_page_occurrences
+            from .sources.wiki_corpus import (
+                read_wiki_dump,
+                wiki_page_occurrences,
+            )
 
-            pages = spark.read.parquet(args.input)
+            if args.input_format == "xml-dump":
+                pages = read_wiki_dump(spark, args.input)
+            else:
+                pages = spark.read.parquet(args.input)
             docs, occs = wiki_page_occurrences(pages)
             docs.write.mode("overwrite").parquet(f"{args.output}/documents")
             occs.write.mode("overwrite").parquet(

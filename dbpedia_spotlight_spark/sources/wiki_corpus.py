@@ -101,6 +101,65 @@ def tiny_corpus_documents(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(to_spans, schema=SPANS_SCHEMA)
 
 
+def _xml_unescape(col):
+    """The five predefined XML entities, &amp; last (JVM-side)."""
+    out = col
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def read_wiki_dump(spark: SparkSession, path: str) -> DataFrame:
+    """MediaWiki XML dump -> pages(uri, markup), main namespace only.
+
+    The Spark recast of WikiOccurrenceSource.fromXMLDumpFile
+    (index/.../io/WikiOccurrenceSource.scala:40-43: XMLSource.fromFile
+    with a ``_.title.namespace == Namespace.Main`` filter): the dump is
+    read as text split on ``</page>`` (a custom Hadoop line delimiter —
+    streaming and input-splittable, so a multi-TB dump scans in
+    parallel; literal ``</page>`` cannot occur inside page text because
+    element content is XML-escaped). Title/ns/text are regex-extracted
+    and entity-unescaped JVM-side; ``<redirect``-tagged and non-main-
+    namespace pages are dropped (redirect markup is re-checked
+    downstream in wiki_page_occurrences, matching the reference's
+    double guard). For .bz2 dumps use the multistream file split into
+    chunks upstream — codec splitting is an ingest concern, not a
+    parser one."""
+    raw = spark.read.option("lineSep", "</page>").text(path)
+    title = F.regexp_extract("value", r"(?s)<title>(.*?)</title>", 1)
+    ns = F.regexp_extract("value", r"(?s)<ns>(\d+)</ns>", 1)
+    txt = F.regexp_extract("value", r"(?s)<text[^>]*>(.*?)</text>", 1)
+    return (
+        raw.filter(F.col("value").contains("<title>"))
+        .select(
+            title.alias("t"),
+            ns.alias("ns"),
+            F.col("value").rlike(r"<redirect[ />]").alias("is_red"),
+            txt.alias("m"),
+        )
+        # old dumps omit <ns>; treat absent as main
+        .filter((F.col("ns") == "0") | (F.col("ns") == ""))
+        .filter(~F.col("is_red"))
+        .select(
+            F.regexp_replace(_xml_unescape(F.col("t")), " ", "_")
+            .alias("uri"),
+            _xml_unescape(F.col("m")).alias("markup"),
+        )
+    )
+
+
+def wiki_dump_occurrences(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """XML dump file -> (documents, occurrences); the full
+    WikiOccurrenceSource path: dump scan + markup strip + paragraph
+    split + link occurrence extraction."""
+    return wiki_page_occurrences(read_wiki_dump(spark, path))
+
+
 _REDIRECT_RE = r"(?is)^\s*#redirect"
 _DISAMBIG_RE = r"(?is)\{\{\s*(disambig|dab\b|hndis)"
 

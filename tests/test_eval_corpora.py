@@ -294,6 +294,95 @@ def test_wiki_page_occurrences(spark):
     assert not any(u == "Delta" for _d, u, *_ in got)
 
 
+_DUMP_XML = """<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/">
+  <siteinfo><sitename>Wikipedia</sitename>
+    <namespaces><namespace key="0" /><namespace key="1">Talk</namespace>
+    </namespaces></siteinfo>
+  <page>
+    <title>Alpha Centauri</title>
+    <ns>0</ns>
+    <id>1</id>
+    <revision><id>11</id>
+      <text xml:space="preserve">'''Alpha Centauri''' is a star.
+
+It links to [[Beta]] &amp; [[Gamma ray|gamma]] &lt;ref&gt;x&lt;/ref&gt;.
+</text>
+    </revision>
+  </page>
+  <page>
+    <title>Redir Page</title>
+    <ns>0</ns>
+    <redirect title="Alpha Centauri" />
+    <revision><text>#REDIRECT [[Alpha Centauri]]</text></revision>
+  </page>
+  <page>
+    <title>Talk:Alpha Centauri</title>
+    <ns>1</ns>
+    <revision><text>talk chatter [[NotAnArticle]]</text></revision>
+  </page>
+  <page>
+    <title>Q&amp;A</title>
+    <ns>0</ns>
+    <revision><text>Entities &amp;amp; escaping with [[Beta|b]].</text>
+    </revision>
+  </page>
+</mediawiki>
+"""
+
+
+def test_read_wiki_dump_vs_etree_twin(spark, tmp_path):
+    """XML dump slice parsed by the Spark reader must agree with an
+    independent stdlib xml.etree parse (titles, redirect/ns filters,
+    entity unescaping)."""
+    import xml.etree.ElementTree as ET
+
+    from dbpedia_spotlight_spark.sources.wiki_corpus import read_wiki_dump
+
+    p = tmp_path / "dump.xml"
+    p.write_text(_DUMP_XML)
+
+    got = {
+        r["uri"]: r["markup"] for r in read_wiki_dump(spark, str(p)).collect()
+    }
+
+    # independent twin
+    root = ET.fromstring(_DUMP_XML)
+    nsmap = {"mw": "http://www.mediawiki.org/xml/export-0.10/"}
+    want = {}
+    for page in root.findall("mw:page", nsmap):
+        ns = page.findtext("mw:ns", "0", nsmap)
+        if ns != "0" or page.find("mw:redirect", nsmap) is not None:
+            continue
+        title = page.findtext("mw:title", "", nsmap)
+        text = page.findtext("mw:revision/mw:text", "", nsmap)
+        want[title.replace(" ", "_")] = text
+    assert set(got) == set(want) == {"Alpha_Centauri", "Q&A"}
+    for uri in want:
+        assert got[uri] == want[uri], uri
+    assert "&" in got["Q&A"] and "&amp;" not in got["Alpha_Centauri"]
+    assert "<ref>" in got["Alpha_Centauri"]
+
+
+def test_wiki_dump_occurrences_end_to_end(spark, tmp_path):
+    from dbpedia_spotlight_spark.sources.wiki_corpus import (
+        wiki_dump_occurrences,
+    )
+
+    p = tmp_path / "dump.xml"
+    p.write_text(_DUMP_XML)
+    docs, occs = wiki_dump_occurrences(spark, str(p))
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {(r["doc_id"], r["uri"], r["sf"]) for r in occs.collect()}
+    assert ("Alpha_Centauri-p2", "Beta", "Beta") in got
+    assert ("Alpha_Centauri-p2", "Gamma_ray", "gamma") in got
+    assert not any(d.startswith("Redir") for d, *_ in got)
+    assert not any(d.startswith("Talk") for d, *_ in got)
+    # offsets index the cleaned paragraph text
+    for r in occs.collect():
+        t = texts[r["doc_id"]]
+        assert t[r["offset"]:r["offset"] + len(r["sf"])] == r["sf"]
+
+
 # ---------------------------------------------------------------------------
 # CSAW
 # ---------------------------------------------------------------------------
