@@ -34,9 +34,13 @@ def _params(args) -> PipelineParams:
         coreference_resolution=not getattr(args, "no_coref", False),
         stemmer=getattr(args, "stemmer", None) or None,
         spotter=getattr(args, "spotter", "ac"),
+        mixture=getattr(args, "mixture", "unweighted"),
         shuffle_partitions=args.shuffle_partitions,
         checkpoint_dir=args.checkpoint_dir,
     )
+
+
+MIXTURES = ("unweighted", "linreg", "onlysim", "fader", "fader2", "linregf")
 
 
 def main(argv=None) -> None:
@@ -64,6 +68,9 @@ def main(argv=None) -> None:
     a.add_argument("--stemmer", choices=["english"], default=None,
                    help="must match the model's build-time stemmer")
     a.add_argument("--spotter", choices=["ac", "fsa"], default="ac")
+    a.add_argument("--mixture", choices=list(MIXTURES),
+                   default="unweighted",
+                   help="score mixture (disambiguate/mixtures/*.scala)")
     a.add_argument("--format", choices=["parquet", "xml", "json", "html",
                                         "rdfa", "nif"], default="parquet",
                    help="output rendering (OutputManager.java shapes); "
@@ -91,6 +98,8 @@ def main(argv=None) -> None:
     e.add_argument("--model-dir", required=True)
     e.add_argument("--stemmer", choices=["english"], default=None)
     e.add_argument("--spotter", choices=["ac", "fsa"], default="ac")
+    e.add_argument("--mixture", choices=list(MIXTURES),
+                   default="unweighted")
 
     iw = sub.add_parser(
         "ingest-wiki",

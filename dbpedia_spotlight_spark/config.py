@@ -36,9 +36,23 @@ class PipelineParams:
     stemmer: str | None = None
     # score mixture (disambiguate/mixtures/*.scala): "unweighted"
     # (default, UnweightedMixture), "linreg" (LinearRegressionMixture's
-    # hard-coded trained weights over prior + normalized context),
-    # "onlysim" (OnlySimScoreMixture — context channel alone)
+    # active getScore coefficients over P(e) + raw ln context),
+    # "onlysim" (OnlySimScoreMixture — context channel alone),
+    # "fader" / "fader2" (Fader et al. 2009 adaptations over
+    # prior-prominence + context), "linregf"
+    # (LinearRegressionFeatureMixture over named feature weights)
     mixture: str = "unweighted"
+    # Fader mixture knobs (FaderMixture.scala:9 constructor params)
+    mixture_context_weight: float = 0.5
+    mixture_alpha: float = 1000.0
+    mixture_surrogates_count: int = 1
+    # LinearRegressionFeatureMixture weights: (feature, weight) over
+    # {"P(e)", "P(c|e)", "P(s|e)"} + offset — the example instantiation
+    # from LinearRegressionFeatureMixture.scala:11
+    mixture_feature_weights: tuple = (
+        ("P(e)", 0.0216), ("P(c|e)", 0.0005), ("P(s|e)", 0.2021),
+    )
+    mixture_feature_offset: float = 1.5097
 
     # --- result filters (REST-facing knobs) ---
     confidence: float = 0.0

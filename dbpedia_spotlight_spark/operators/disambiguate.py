@@ -83,6 +83,58 @@ def disambiguate(
                 F.col("res_prior"), F.col("ctx_score")
             ),
         ).withColumn("nil_score", F.lit(LINREG_NIL_SCORE))
+    elif mixture in ("fader", "fader2"):
+        # Fader(2)Mixture.scala — raw ln context × / + prior prominence.
+        # The NIL pseudo-candidate reaches getScore with the constructor
+        # defaults (prior 0.0, contextualScore −1), same as linreg, so its
+        # score is a params-dependent constant.
+        from .mixtures import fader2_mixture, fader_mixture
+
+        cw = params.mixture_context_weight
+        al = params.mixture_alpha
+        if mixture == "fader":
+            sc = params.mixture_surrogates_count
+            raw = fader_mixture(
+                F.col("ctx_score"), F.col("res_prior"), cw, al, sc
+            )
+            nil_const = -1.0 * (cw / sc + (1.0 - cw))  # prominence(0)=1
+        else:
+            raw = fader2_mixture(
+                F.col("ctx_score"), F.col("res_prior"), cw, al
+            )
+            nil_const = cw * -1.0 + (1.0 - cw) * 1.0
+        scored = joined.withColumn("raw_score", raw).withColumn(
+            "nil_score", F.lit(nil_const)
+        )
+    elif mixture == "linregf":
+        # LinearRegressionFeatureMixture.scala over the named Score
+        # features of DBTwoStepDisambiguator.scala:168-173. NIL features
+        # (:141-150): P(c|e) = window nil score, P(e) = ln(1/total);
+        # the reference's P(s|e) on eNIL is nilScore(mention token
+        # types) WHEN token_types is present (it throws otherwise) —
+        # this engine substitutes the window nil score there, a
+        # documented approximation.
+        from .mixtures import linear_regression_feature_mixture
+
+        weights = params.mixture_feature_weights
+        offset = params.mixture_feature_offset
+        cand_feats = {
+            "P(s|e)": F.log("cand_prior"),
+            "P(c|e)": F.col("ctx_score"),
+            "P(e)": F.log("res_prior"),
+        }
+        nil_feats = {
+            "P(s|e)": F.col("nil_ctx_score"),
+            "P(c|e)": F.col("nil_ctx_score"),
+            "P(e)": F.lit(ln_nil_pe),
+        }
+        scored = joined.withColumn(
+            "raw_score",
+            linear_regression_feature_mixture(cand_feats, weights, offset),
+        ).withColumn(
+            "nil_score",
+            linear_regression_feature_mixture(nil_feats, weights, offset),
+        )
     else:
         raise ValueError(f"unknown mixture: {mixture!r}")
 

@@ -47,3 +47,56 @@ LINREG_NIL_SCORE = 1234.3989 * 0.0 + 0.9968 * (-1.0) - 0.0275
 
 def only_sim_score_mixture(ctx_score: Column) -> Column:
     return ctx_score
+
+
+def fader_mixture(
+    ctx_raw: Column,
+    res_prior: Column,
+    context_weight: float,
+    alpha: float,
+    surrogates_count: int,
+) -> Column:
+    """FaderMixture.scala:20-30 (Fader et al. 2009 adaptation):
+
+        prominence = 1 + ln(1 + prior·alpha)
+        lambda     = contextWeight/surrogatesCount
+                     + (1 − contextWeight)·prominence
+        score      = contextualScore · lambda
+
+    with contextualScore the raw ln context score and prior = P(e)."""
+    prominence = 1.0 + F.log(1.0 + res_prior * F.lit(alpha))
+    lam = (
+        F.lit(context_weight / surrogates_count)
+        + F.lit(1.0 - context_weight) * prominence
+    )
+    return ctx_raw * lam
+
+
+def fader2_mixture(
+    ctx_raw: Column,
+    res_prior: Column,
+    context_weight: float,
+    alpha: float,
+) -> Column:
+    """Fader2Mixture.scala:17-22:
+    cw·contextualScore + (1 − cw)·(1 + ln(1 + prior·alpha))."""
+    prominence = 1.0 + F.log(1.0 + res_prior * F.lit(alpha))
+    return (
+        F.lit(context_weight) * ctx_raw
+        + F.lit(1.0 - context_weight) * prominence
+    )
+
+
+def linear_regression_feature_mixture(
+    features: dict, weighted: tuple, offset: float
+) -> Column:
+    """LinearRegressionFeatureMixture.scala:16-23: Σ wᵢ·feature(nameᵢ)
+    + offset over the named Score features the disambiguator sets
+    (DBTwoStepDisambiguator.scala:168-173: "P(s|e)" = ln cand.prior,
+    "P(c|e)" = raw ln context score, "P(e)" = ln resource.prior)."""
+    out = F.lit(float(offset))
+    for name, w in weighted:
+        if name not in features:
+            raise ValueError(f"unknown feature: {name!r}")
+        out = out + F.lit(float(w)) * features[name]
+    return out
