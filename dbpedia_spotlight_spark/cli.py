@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 
 from .config import PipelineParams
 from .session import get_spark
@@ -191,6 +192,11 @@ def main(argv=None) -> None:
         stopwords = _load_stopwords(spark, args.model_dir)
         metrics = evaluate_corpus(docs, gold, model, stopwords,
                                   _params(args))
+        # the reference prints its timing/footprint block to stderr
+        # (EvaluateSpotlightModel.scala:20-55); JSON stays on stdout
+        from .plans.evaluation import format_metric_block
+
+        print(format_metric_block(metrics), file=sys.stderr)
         print(json.dumps({"status": "ok", **metrics}))
         return
 

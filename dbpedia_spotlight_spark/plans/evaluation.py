@@ -70,6 +70,13 @@ def disambiguation_metrics(
     }
 
 
+def _jvm_memory_mb(spark) -> int:
+    """(totalMemory − freeMemory)/2²⁰ — the exact footprint formula of
+    EvaluateSpotlightModel.scala:20/37/54, read from the driver JVM."""
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    return int((rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
+
+
 def evaluate_corpus(
     documents: DataFrame,
     gold_occurrences: DataFrame,
@@ -80,15 +87,21 @@ def evaluate_corpus(
     """Run the full pipeline over a parsed evaluation corpus and emit the
     reference's printed metric block (EvaluateParagraphDisambiguator
     .scala:88-99 + EvalSpotter.scala:113-135 + the prior-only baseline of
-    EvaluateSpotlightModel.scala:63-69) in one dict.
+    EvaluateSpotlightModel.scala:63-69, plus the timing/footprint lines
+    of EvaluateSpotlightModel.scala:20-55) in one dict.
 
     `documents` = (doc_id, text) or (doc_id, spans) — exactly what the
     sources/eval_corpora.py readers return; `gold_occurrences` carries
     (doc_id, uri, sf, offset)."""
+    import time
+
     from ..config import DEFAULT_PARAMS
     from .pipeline import annotate
 
     params = params or DEFAULT_PARAMS
+    spark = documents.sparkSession
+    mem_model = _jvm_memory_mb(spark)
+    t0 = time.time()
     if "spans" not in documents.columns:
         docs = documents.select(
             "doc_id",
@@ -103,10 +116,17 @@ def evaluate_corpus(
         )
     else:
         docs = documents
+    n_docs = docs.count()
+    mem_corpus = _jvm_memory_mb(spark)
     res = annotate(docs, model, stopwords, params)
     gold = gold_occurrences.select("doc_id", "offset", "sf", "uri").cache()
     spot = spotting_pr(res.mentions, gold)
     dis = disambiguation_metrics(res.scored, gold)
+    # annotation wall time: annotate() is lazy — the spotting/linking
+    # actions above forced it, so the window covers tokenize+spot+
+    # disambiguate exactly like the reference's timed foreach
+    # (EvaluateSpotlightModel.scala:41-52)
+    annotation_time = time.time() - t0
     prior = prior_only_baseline(res.candidates).select(
         "mention_key", F.col("uri").alias("prior_uri")
     )
@@ -128,9 +148,39 @@ def evaluate_corpus(
         "spotting": spot,
         "disambiguation": dis,
         "prior_baseline_accuracy": prior_acc,
-        "n_documents": docs.count(),
+        "n_documents": n_docs,
         "n_gold_occurrences": n_gold,
+        "annotation_time_sec": round(annotation_time, 3),
+        "annotation_time_avg_sec": round(
+            annotation_time / n_docs if n_docs else 0.0, 6
+        ),
+        "memory_footprint_model_mb": mem_model,
+        "memory_footprint_corpus_mb": mem_corpus,
+        "memory_footprint_mb": _jvm_memory_mb(spark),
     }
+
+
+def format_metric_block(metrics: dict) -> str:
+    """The reference's printed lines (EvaluateSpotlightModel.scala:20-54
+    stderr block + the P/R/accuracy summary)."""
+    s = metrics["spotting"]
+    d = metrics["disambiguation"]
+    return "\n".join([
+        "Memory footprint (model loaded): %s"
+        % metrics["memory_footprint_model_mb"],
+        "Memory footprint (corpus): %s"
+        % metrics["memory_footprint_corpus_mb"],
+        "Annotation time: %s sec" % metrics["annotation_time_sec"],
+        "Annotation time avg: %s sec"
+        % metrics["annotation_time_avg_sec"],
+        "Memory footprint: %s" % metrics["memory_footprint_mb"],
+        "Spotting precision: %.6f recall: %.6f" % (
+            s["precision"], s["recall"]),
+        "Disambiguation accuracy: %.6f MRR: %.6f" % (
+            d["accuracy"], d["mrr"]),
+        "Prior baseline accuracy: %.6f"
+        % metrics["prior_baseline_accuracy"],
+    ])
 
 
 def prior_only_baseline(mention_candidates: DataFrame) -> DataFrame:

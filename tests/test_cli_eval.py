@@ -47,6 +47,20 @@ def test_cli_evaluate_milnewitten(fixture_dir, fx, tmp_path):
     assert metrics["spotting"]["recall"] >= 0.99
     assert metrics["disambiguation"]["accuracy"] >= 0.95
     assert metrics["n_gold_occurrences"] > 0
+    # EvaluateSpotlightModel.scala:20-55 timing/footprint parity fields
+    assert metrics["annotation_time_sec"] > 0
+    assert metrics["annotation_time_avg_sec"] > 0
+    assert metrics["memory_footprint_model_mb"] >= 0
+    assert metrics["memory_footprint_mb"] >= 0
+    # and the printed block contains the reference's exact field names
+    from dbpedia_spotlight_spark.plans.evaluation import format_metric_block
+
+    block = format_metric_block(metrics)
+    for line in ("Memory footprint (model loaded):",
+                 "Memory footprint (corpus):",
+                 "Annotation time:", "Annotation time avg:",
+                 "Memory footprint:"):
+        assert line in block, line
 
 
 @pytest.mark.skipif(
