@@ -95,7 +95,8 @@ def main(argv=None) -> None:
                    help="corpus path (format-specific: .htm dir, CoNLL "
                         "tsv, CSAW dir, PREDOSE file)")
     e.add_argument("--corpus-format", required=True,
-                   choices=["milnewitten", "aida", "csaw", "predose"])
+                   choices=["milnewitten", "aida", "csaw", "predose",
+                            "heldout"])
     e.add_argument("--model-dir", required=True)
     e.add_argument("--stemmer", choices=["english"], default=None)
     e.add_argument("--spotter", choices=["ac", "fsa"], default="ac")
@@ -181,11 +182,14 @@ def main(argv=None) -> None:
         from .plans.evaluation import evaluate_corpus
         from .sources import eval_corpora as EC
 
+        from .sources.wiki_corpus import read_wikipedia_heldout
+
         readers = {
             "milnewitten": EC.read_milne_witten,
             "aida": EC.read_aida,
             "predose": EC.read_predose,
             "csaw": EC.read_csaw,
+            "heldout": read_wikipedia_heldout,
         }
         docs, gold = readers[args.corpus_format](spark, args.corpus)
         model = _load_model(spark, args.model_dir)

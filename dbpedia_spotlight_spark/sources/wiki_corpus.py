@@ -160,6 +160,56 @@ def wiki_dump_occurrences(
     return wiki_page_occurrences(read_wiki_dump(spark, path))
 
 
+def read_wikipedia_heldout(
+    spark: SparkSession,
+    path: str,
+    model=None,
+    redirects: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Pig-export heldout corpus: ONE MediaWiki paragraph per line ->
+    (documents(doc_id, text), gold occurrences(occ_id, doc_id, uri, sf,
+    offset)).
+
+    The Spark recast of WikipediaHeldoutCorpus.scala:24-47 +
+    WikiOccurrenceSource.fromPigHeldoutFile (:71-79): every line becomes
+    a one-paragraph page through the same markup-strip + link-extraction
+    path. doc_id is a content hash of the line — the reference groups
+    occurrences by paragraph TEXT (groupBy(_.context)), so identical
+    lines collapsing to one doc id matches its semantics exactly.
+
+    Optional reference-parity filters (resolveRedirectsAndFilter,
+    :31-47): `redirects` (src_uri, dst_uri) resolves occurrence URIs
+    through the transitive closure; `model` (ModelTables) drops
+    occurrences whose surface form has candidate ambiguity <= 1."""
+    pages = (
+        spark.read.text(path)
+        .filter(F.trim("value") != "")
+        .select(
+            F.concat(F.lit("heldout-"), F.md5(F.trim("value"))).alias("uri"),
+            F.trim(F.col("value")).alias("markup"),
+        )
+        .distinct()
+    )
+    docs, occs = wiki_page_occurrences(pages)
+    if redirects is not None:
+        from ..operators.redirects import resolve_redirects_df
+
+        occs = resolve_redirects_df(
+            occs.withColumnRenamed("uri", "uri_raw"), redirects
+        ).drop("uri_raw")
+    if model is not None:
+        amb = (
+            model.candidate_map.groupBy("sf_id")
+            .agg(F.count("*").alias("n_cand"))
+            .join(model.surface_form_stats.select("sf_id", "sf"), "sf_id")
+            .filter(F.col("n_cand") > 1)
+            .select("sf")
+        )
+        occs = occs.join(model.maybe_broadcast(
+            amb, "surface_form_stats"), "sf", "left_semi")
+    return docs, occs
+
+
 _REDIRECT_RE = r"(?is)^\s*#redirect"
 _DISAMBIG_RE = r"(?is)\{\{\s*(disambig|dab\b|hndis)"
 
