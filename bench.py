@@ -214,12 +214,27 @@ def main() -> None:
         # similar ambient conditions and its ratio is stable — and the
         # reported number is the MEDIAN per-pair efficiency over
         # BENCH_TRIES pairs (default 3; median, not best-of).
-        parts = hi_n * 2
+        # 4 task waves per stage at the HI level (8 waves for the 2x
+        # repartitioned input): a finer wave structure halves the
+        # stage-tail share vs hi_n*2, the dominant residual inefficiency
+        # (identical at both levels, so the ratio stays fair)
+        parts = hi_n * 4
         tries = int(os.environ.get("BENCH_TRIES", "3"))
         factor = hi_n / lo_n
+        # optional quiet-window gating for the SHARED host: wait (up to
+        # 15 min) for ambient load below BENCH_WAIT_LOAD before starting
+        # a pair. The per-pair ambient load is still recorded either way
+        # — this trades wall-clock for measuring the plan, not the
+        # co-tenants.
+        wait_load = float(os.environ.get("BENCH_WAIT_LOAD", "0"))
         pairs = []
         for _ in range(tries):
             load1 = float(open("/proc/loadavg").read().split()[0])
+            if wait_load:
+                deadline = time.time() + 900
+                while load1 >= wait_load and time.time() < deadline:
+                    time.sleep(30)
+                    load1 = float(open("/proc/loadavg").read().split()[0])
             lo = scaling_job(f"local[{lo_n}]", sf_dir, parts, rep)
             hi = scaling_job(f"local[{hi_n}]", sf_dir, parts, rep)
             eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / factor

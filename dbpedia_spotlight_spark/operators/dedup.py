@@ -232,44 +232,83 @@ def ngram_jaccard(
 # SimHash (64-bit, Arrow-batched kernel)
 # ---------------------------------------------------------------------------
 
+# per-worker token -> md5-prefix hash memo: corpora are Zipf-distributed,
+# so the distinct-token set is far smaller than the token stream; md5
+# (the kernel pinned by the simhash SQL oracle) runs once per distinct
+# token instead of once per occurrence (~10x on the hot path)
+_SIMHASH_TOKEN_CACHE: dict[str, int] = {}
+_SIMHASH_CACHE_MAX = 1 << 20
+_SIMHASH_SPLIT_RE = None  # compiled lazily on the worker
+
+
 @pandas_udf(LongType())
 def simhash64_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens (vectorized per Arrow batch).
+    """64-bit SimHash over word tokens (md5-prefix token hashes, per-bit
+    majority vote over token OCCURRENCES — duplicates count).
 
-    Python is unavoidable here (per-bit majority vote has no clean column
-    expression), so it runs as a pandas UDF — one call per batch.
+    Vectorized per Arrow batch: tokens of all docs flatten into one
+    array; per-bit votes are segment sums (np.add.reduceat), never a
+    per-doc Python loop; memory stays O(tokens), not O(tokens x 64).
     """
     import hashlib
-    import numpy as np
     import re
 
-    out = []
+    import numpy as np
+
+    global _SIMHASH_SPLIT_RE
+    if _SIMHASH_SPLIT_RE is None:
+        _SIMHASH_SPLIT_RE = re.compile(r"[^a-z0-9]+")
+    cache = _SIMHASH_TOKEN_CACHE
+
+    tok_lists: list = []
+    flat: list[str] = []
+    starts: list[int] = []
     for text in texts:
         if text is None:
-            out.append(None)
+            tok_lists.append(None)
             continue
-        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
-        votes = np.zeros(64, dtype=np.int64)
+        toks = [t for t in _SIMHASH_SPLIT_RE.split(text.lower()) if t]
+        tok_lists.append(len(toks))
         if toks:
-            hashes = np.array(
-                [
-                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                    for t in toks
-                ],
-                dtype=np.uint64,
+            starts.append(len(flat))
+            flat.extend(toks)
+
+    vals = np.empty(len(starts), dtype=np.uint64)
+    if flat:
+        if len(cache) + len(flat) > _SIMHASH_CACHE_MAX:
+            cache.clear()
+        for t in flat:
+            if t not in cache:
+                cache[t] = int.from_bytes(
+                    hashlib.md5(t.encode()).digest()[:8], "big"
+                )
+        hashes = np.fromiter(
+            (cache[t] for t in flat), dtype=np.uint64, count=len(flat)
+        )
+        starts_arr = np.array(starts, dtype=np.int64)
+        bounds = np.append(starts_arr[1:], len(flat))
+        seg_len = bounds - starts_arr
+        vals.fill(0)
+        for j in range(64):
+            bit_j = ((hashes >> np.uint64(j)) & np.uint64(1)).astype(
+                np.int64
             )
-            bits = (
-                hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]
-            ) & np.uint64(1)
-            votes = np.where(bits == 1, 1, -1).sum(axis=0)
-        val = 0
-        for i in range(64):
-            if votes[i] > 0:
-                val |= 1 << i
-        # to signed 64-bit
-        if val >= 1 << 63:
-            val -= 1 << 64
-        out.append(val)
+            ones = np.add.reduceat(bit_j, starts_arr)
+            # votes_j = ones - (len - ones) > 0  <=>  2*ones > len
+            vals |= ((2 * ones > seg_len).astype(np.uint64)
+                     << np.uint64(j))
+
+    signed = vals.view(np.int64)
+    out = []
+    k = 0
+    for n_toks in tok_lists:
+        if n_toks is None:
+            out.append(None)
+        elif n_toks == 0:
+            out.append(0)
+        else:
+            out.append(int(signed[k]))
+            k += 1
     return pd.Series(out, dtype="Int64")
 
 

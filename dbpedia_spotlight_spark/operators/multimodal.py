@@ -4,14 +4,18 @@ Image/audio/video payloads are opaque `binary` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched kernels over mapInPandas.
 
-Decode is REAL for the Netpbm family (PGM P2/P5, PPM P3/P6 — parsed
-with plain bytes + numpy, no codec libraries needed): dimensions,
-per-channel statistics features, and an actual nearest-neighbor pixel
-resize with re-encode. Codec-dependent formats (JPEG/PNG/audio/video)
-remain STUBBED: they raise NotImplementedError unless `fake=True`
-selects the deterministic md5-derived test double — the Spark-side
-plumbing (schema, batching, partitioning, UDF signature) is identical
-either way.
+Decode is REAL for three codec-library-free formats (plain bytes +
+numpy):
+  * Netpbm (PGM P2/P5, PPM P3/P6) — dimensions, per-channel statistics
+    features, nearest-neighbor pixel resize with re-encode;
+  * uncompressed BMP (8-bit paletted / 24/32-bit BI_RGB, either row
+    order, padding handled) — same feature/resize path, BMP re-encode;
+  * PCM WAV audio (8/16-bit, any channel count, RIFF chunk walk) —
+    duration/rms/peak/zero-crossing/energy features.
+Entropy-coded formats (JPEG/PNG/MP3/video) remain STUBBED: they raise
+NotImplementedError unless `fake=True` selects the deterministic
+md5-derived test double — the Spark-side plumbing (schema, batching,
+partitioning, UDF signature) is identical either way.
 
 The documents table's media spans (kind='media', media_ref='File:…')
 attach to payloads via media_ref, mirroring the reference's opaque
@@ -104,6 +108,150 @@ def encode_netpbm(px: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + px.tobytes()
 
 
+def parse_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed BMP decoder (pure struct math + numpy) -> HxWxC uint8.
+
+    Handles the classic BITMAPINFOHEADER layout: 24/32-bit BI_RGB
+    truecolor and 8-bit paletted, bottom-up or top-down rows, 4-byte row
+    padding, BGR(A) -> RGB channel order. No codec library involved —
+    the format is plain little-endian structs."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+
+    def _i32(off):
+        return int.from_bytes(data[off:off + 4], "little", signed=True)
+
+    def _u16(off):
+        return int.from_bytes(data[off:off + 2], "little")
+
+    pixel_off = _i32(10)
+    hdr_size = _i32(14)
+    width = _i32(18)
+    height = _i32(22)
+    bpp = _u16(28)
+    compression = _i32(30)
+    if compression != 0:
+        raise ValueError(f"only BI_RGB (uncompressed) BMP: {compression}")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth: {bpp}")
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * bpp // 8 + 3) & ~3
+    raster = np.frombuffer(
+        data, dtype=np.uint8, count=row_bytes * height, offset=pixel_off
+    ).reshape(height, row_bytes)
+    if bpp == 8:
+        # palette: BGRA quads right after the info header
+        pal_off = 14 + hdr_size
+        n_pal = (pixel_off - pal_off) // 4 or 256
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=n_pal * 4, offset=pal_off
+        ).reshape(n_pal, 4)[:, :3][:, ::-1]  # BGR -> RGB
+        idx = raster[:, :width]
+        px = pal[idx]
+    else:
+        c = bpp // 8
+        px = raster[:, : width * c].reshape(height, width, c)
+        px = px[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
+    if not top_down:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> 24-bit bottom-up BI_RGB BMP."""
+    h, w, c = px.shape
+    if c == 1:
+        px = np.repeat(px, 3, axis=2)
+    row_bytes = (w * 3 + 3) & ~3
+    raster = np.zeros((h, row_bytes), dtype=np.uint8)
+    raster[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR
+    body = raster.tobytes()
+    size = 54 + len(body)
+    hdr = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return hdr + body
+
+
+def parse_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """PCM WAV decoder (RIFF chunk walk, pure numpy) ->
+    (sample_rate, samples[n, channels] as float64 in [-1, 1]).
+
+    Handles 8-bit unsigned and 16-bit signed PCM (format tag 1), any
+    channel count, extra chunks (LIST, fact) skipped by the chunk walk."""
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    rate = channels = bits = None
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        clen = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = data[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            tag = int.from_bytes(body[0:2], "little")
+            if tag != 1:
+                raise ValueError(f"only PCM WAV (tag 1): {tag}")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            samples = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        arr = np.frombuffer(
+            samples, dtype="<i2",
+            count=len(samples) // 2 // channels * channels,
+        ).astype(np.float64) / 32768.0
+    elif bits == 8:
+        arr = (
+            np.frombuffer(
+                samples, dtype=np.uint8,
+                count=len(samples) // channels * channels,
+            ).astype(np.float64) - 128.0
+        ) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM bit depth: {bits}")
+    return rate, arr.reshape(-1, channels)
+
+
+def _wav_features(rate: int, samples: np.ndarray) -> list[float]:
+    """8 deterministic audio statistics (the feature-extraction stage):
+    duration, rms, peak, mean, zero-crossing rate, std, and the energy
+    split between the first/second half."""
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    dur = n / rate if rate else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if n > 1 else 0.0
+    half = n // 2
+    e1 = float(np.mean(mono[:half] ** 2)) if half else 0.0
+    e2 = float(np.mean(mono[half:] ** 2)) if n - half else 0.0
+    return [
+        round(x, 6)
+        for x in (
+            dur,
+            float(np.sqrt(np.mean(mono ** 2))) if n else 0.0,
+            float(np.abs(mono).max()) if n else 0.0,
+            float(mono.mean()) if n else 0.0,
+            zcr,
+            float(mono.std()) if n else 0.0,
+            e1,
+            e2,
+        )
+    ]
+
+
 def _netpbm_features(px: np.ndarray) -> list[float]:
     """8 deterministic image statistics (the feature-extraction stage)."""
     h, w, c = px.shape
@@ -129,7 +277,10 @@ def decode_media(
     """(media_ref, payload, ...) -> (media_ref, width, height, n_frames,
     features). Arrow-batched mapInPandas; one python call per batch.
 
-    Netpbm payloads decode for real; other formats raise
+    REAL decodes: Netpbm (PGM/PPM), uncompressed BMP, and PCM WAV audio
+    (for audio: width = sample rate, height = channel count, n_frames =
+    sample count, features = duration/rms/peak/zcr stats). Formats
+    needing entropy codecs (JPEG/PNG/MP3/video) raise
     NotImplementedError unless fake=True selects the test double."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -140,17 +291,26 @@ def decode_media(
                 raw = bytes(payload) if payload is not None else b""
                 if fake:
                     w, h, nf, feats = _fake_decode(raw, batch_features)
-                elif raw[:2] in _NETPBM_MAGICS:
-                    px = parse_netpbm(raw)
+                elif raw[:2] in _NETPBM_MAGICS or raw[:2] == b"BM":
+                    px = (
+                        parse_bmp(raw) if raw[:2] == b"BM"
+                        else parse_netpbm(raw)
+                    )
                     h, w = px.shape[0], px.shape[1]
                     nf = 1
                     feats = _netpbm_features(px)
+                elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                    rate, samples = parse_wav(raw)
+                    w, h = rate, samples.shape[1]
+                    nf = samples.shape[0]
+                    feats = _wav_features(rate, samples)
                 else:
                     raise NotImplementedError(
-                        "only netpbm (PGM/PPM) decodes natively; other "
-                        "formats need codec libraries not present in this "
-                        "environment — pass fake=True for the "
-                        "deterministic test double"
+                        "netpbm (PGM/PPM), uncompressed BMP and PCM WAV "
+                        "decode natively; entropy-coded formats need "
+                        "codec libraries not present in this environment "
+                        "— pass fake=True for the deterministic test "
+                        "double"
                     )
                 rows["media_ref"].append(ref)
                 rows["width"].append(w)
@@ -165,8 +325,8 @@ def decode_media(
 
 
 def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
-    """REAL pixel resize for netpbm payloads: nearest-neighbor downscale
-    preserving aspect ratio, re-encoded as binary PGM/PPM.
+    """REAL pixel resize for netpbm/BMP payloads: nearest-neighbor
+    downscale preserving aspect ratio, re-encoded in the same container.
     -> (media_ref, payload, width, height)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -174,7 +334,9 @@ def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
             rows = {"media_ref": [], "payload": [], "width": [],
                     "height": []}
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                px = parse_netpbm(bytes(payload))
+                raw = bytes(payload)
+                is_bmp = raw[:2] == b"BM"
+                px = parse_bmp(raw) if is_bmp else parse_netpbm(raw)
                 h, w = px.shape[0], px.shape[1]
                 scale = min(1.0, max_side / max(w, h))
                 ow = max(1, int(round(w * scale)))
@@ -183,7 +345,9 @@ def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
                 xi = (np.arange(ow) * (w / ow)).astype(int)
                 out = px[yi][:, xi]
                 rows["media_ref"].append(ref)
-                rows["payload"].append(encode_netpbm(out))
+                rows["payload"].append(
+                    encode_bmp(out) if is_bmp else encode_netpbm(out)
+                )
                 rows["width"].append(ow)
                 rows["height"].append(oh)
             yield pd.DataFrame(rows)
