@@ -255,14 +255,25 @@ def build_fsa_dictionary(
     )
 
 
-def _scan_span(text: str, fsa: FSADictionary) -> list[tuple[int, int, str]]:
-    """All word-bounded dictionary matches in one span: (b, e, sf_raw).
+def _residue_matches(text: str, fsa: FSADictionary) -> list:
+    """Word-bounded matches of the boundary-edged residue automaton;
+    bound-checking BEFORE the greedy sweep is equivalent to the AC
+    path's in-sweep check (a non-bounded match neither survives nor
+    blocks)."""
+    out = []
+    nchars = len(text)
+    for start, ln in fsa.residue.find_all(text):
+        end = start + ln
+        if start != 0 and not is_boundary(text[start - 1]):
+            continue
+        if end < nchars and not is_boundary(text[end]):
+            continue
+        out.append((start, end, text[start:end]))
+    return out
 
-    Includes word-bounded matches of the boundary-edged residue automaton
-    when the dictionary carries one (on_boundary="ac"); bound-checking
-    residue hits BEFORE the greedy sweep is equivalent to the AC path's
-    in-sweep check (a non-bounded match neither survives nor blocks)."""
-    low = text if fsa.case_sensitive else text.lower()
+
+def _scan_one(low: str, text: str, fsa: FSADictionary) -> list:
+    """Per-span FSA matches (non-ASCII fallback / direct API)."""
     if low.isascii():
         s_arr, e_arr, h = _token_bounds_and_hashes_ascii(low)
     else:
@@ -279,22 +290,103 @@ def _scan_span(text: str, fsa: FSADictionary) -> list[tuple[int, int, str]]:
                 continue
             gh = _ngram_hashes(h, n)
             hit_idx = np.nonzero(np.isin(gh, hashes))[0]
-            for i in hit_idx:
-                b = int(s_arr[i])
-                e = int(e_arr[i + n - 1])
+            if not len(hit_idx):
+                continue
+            for b, e in zip(
+                s_arr[hit_idx].tolist(), e_arr[hit_idx + n - 1].tolist()
+            ):
                 if low[b:e] in sf_set:  # exact verify: collisions+separators
                     out.append((b, e, text[b:e]))
-    residue = fsa.residue
-    if residue is not None:
-        nchars = len(text)
-        for start, ln in residue.find_all(text):
-            end = start + ln
-            if start != 0 and not is_boundary(text[start - 1]):
-                continue
-            if end < nchars and not is_boundary(text[end]):
-                continue
-            out.append((start, end, text[start:end]))
     return out
+
+
+def _scan_span(text: str, fsa: FSADictionary) -> list[tuple[int, int, str]]:
+    """All word-bounded dictionary matches in one span: (b, e, sf_raw),
+    residue matches included."""
+    low = text if fsa.case_sensitive else text.lower()
+    out = _scan_one(low, text, fsa)
+    if fsa.residue is not None:
+        out.extend(_residue_matches(text, fsa))
+    return out
+
+
+def _scan_spans_batch(
+    texts: list[str], fsa: FSADictionary
+) -> list[list[tuple[int, int, str]]]:
+    """FSA matches for EVERY span of an Arrow batch in ONE vectorized
+    sweep: the (lowercased) span texts concatenate with a '\\n' boundary
+    into a single blob; token bounds + hashes come from one prefix-
+    polynomial pass; n-gram membership runs once per phrase length over
+    the whole batch, with windows crossing span boundaries masked out
+    (searchsorted span index per token). Per-span Python survives only
+    for hits, non-ASCII spans, and the residue automaton. Output is
+    identical to per-span _scan_span — the batch form only removes
+    per-span fixed overhead (the dominant cost on short documents)."""
+    out: list[list[tuple[int, int, str]]] = [[] for _ in texts]
+    keyed = texts if fsa.case_sensitive else [t.lower() for t in texts]
+    ascii_idx = [i for i, t in enumerate(keyed) if t.isascii()]
+    for i, t in enumerate(keyed):
+        if not t.isascii():
+            out[i] = _scan_one(t, texts[i], fsa)
+    # chunk at span boundaries so the powers cache / per-sweep
+    # temporaries stay O(chunk), not O(batch text) — same discipline as
+    # _group_hashes (an oversized single span still gets its own chunk,
+    # identical to the per-span path's footprint)
+    pos = 0
+    while pos < len(ascii_idx):
+        end = pos
+        size = 0
+        while end < len(ascii_idx) and (
+            size == 0 or size + len(keyed[ascii_idx[end]]) <= _BLOB_CHUNK
+        ):
+            size += len(keyed[ascii_idx[end]]) + 1
+            end += 1
+        _scan_ascii_chunk(ascii_idx[pos:end], keyed, texts, fsa, out)
+        pos = end
+    if fsa.residue is not None:
+        for i, t in enumerate(texts):
+            out[i].extend(_residue_matches(t, fsa))
+    return out
+
+
+_BLOB_CHUNK = 1 << 20  # chars per vectorized batch sweep
+
+
+def _scan_ascii_chunk(
+    idx: list[int], keyed: list[str], texts: list[str],
+    fsa: FSADictionary, out: list,
+) -> None:
+    blob = "\n".join(keyed[i] for i in idx)
+    s_arr, e_arr, h = _token_bounds_and_hashes_ascii(blob)
+    n_tok = len(h)
+    if not n_tok:
+        return
+    lens = np.array([len(keyed[i]) for i in idx], dtype=np.int64)
+    blob_starts = np.zeros(len(idx), dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=blob_starts[1:])
+    tok_span = np.searchsorted(blob_starts, s_arr, side="right") - 1
+    for n, (hashes, sf_set) in fsa.by_n.items():
+        if n > n_tok:
+            continue
+        gh = _ngram_hashes(h, n)
+        same_span = tok_span[: len(gh)] == tok_span[n - 1:]
+        hit_idx = np.nonzero(np.isin(gh, hashes) & same_span)[0]
+        if not len(hit_idx):
+            continue
+        # bulk-gather hit coordinates once (numpy scalar indexing
+        # inside the loop costs ~10x a list-int access)
+        gb = s_arr[hit_idx]
+        ge = e_arr[hit_idx + n - 1]
+        sp = tok_span[hit_idx]
+        base = blob_starts[sp]
+        for gbi, gei, b, e, s in zip(
+            gb.tolist(), ge.tolist(),
+            (gb - base).tolist(), (ge - base).tolist(),
+            sp.tolist(),
+        ):
+            if blob[gbi:gei] in sf_set:
+                oi = idx[s]
+                out[oi].append((b, e, texts[oi][b:e]))
 
 
 def _greedy(matches: list[tuple[int, int, str]]) -> list[tuple[int, int, str]]:
@@ -338,28 +430,33 @@ def spot_documents_fsa(
         for pdf in batches:
             rows = {"doc_id": [], "span_idx": [], "begin": [],
                     "end": [], "sf": []}
+            # flatten the batch's text spans, scan them in ONE vectorized
+            # sweep (_scan_spans_batch), then greedy-filter per span
+            meta: list[tuple] = []  # (doc_id, span_idx, base)
+            texts: list[str] = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 for si, span in enumerate(spans):
                     if span["kind"] != "text":
                         continue
-                    text = span["text"]
-                    base = span["offset"]
-                    found = _scan_span(text, fsa)
-                    if not overlap:
-                        found = _greedy(found)
-                    else:
-                        found = sorted(found)
-                    for b, e, sf in found:
-                        # min-length AFTER the greedy filter, exactly like
-                        # spot_documents (a short match may still block a
-                        # longer overlap before being dropped)
-                        if e - b < min_len:
-                            continue
-                        rows["doc_id"].append(doc_id)
-                        rows["span_idx"].append(si)
-                        rows["begin"].append(base + b)
-                        rows["end"].append(base + e)
-                        rows["sf"].append(sf)
+                    meta.append((doc_id, si, span["offset"]))
+                    texts.append(span["text"])
+            all_found = _scan_spans_batch(texts, fsa)
+            for (doc_id, si, base), found in zip(meta, all_found):
+                if not overlap:
+                    found = _greedy(found)
+                else:
+                    found = sorted(found)
+                for b, e, sf in found:
+                    # min-length AFTER the greedy filter, exactly like
+                    # spot_documents (a short match may still block a
+                    # longer overlap before being dropped)
+                    if e - b < min_len:
+                        continue
+                    rows["doc_id"].append(doc_id)
+                    rows["span_idx"].append(si)
+                    rows["begin"].append(base + b)
+                    rows["end"].append(base + e)
+                    rows["sf"].append(sf)
             yield pd.DataFrame(rows)
 
     return documents.select("doc_id", "spans").mapInPandas(

@@ -205,6 +205,37 @@ def test_annotate_with_fsa_spotter_equals_ac(spark, fixture_dir, fx):
     assert a == b
 
 
+def test_scan_spans_batch_equals_per_span():
+    """The batched Arrow-batch sweep must emit exactly the per-span
+    matches — mixed ASCII/non-ASCII, empties, chunk boundaries."""
+    import random
+
+    from dbpedia_spotlight_spark.operators import fsa_spotting as FS
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "new", "york", "café"]
+    fsa = FS.FSADictionary(
+        ["new york", "alpha", "beta gamma", "café noir", "Yahoo!"],
+        on_boundary="ac",
+    )
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30)))
+        for _ in range(200)
+    ] + ["", "café noir in new york", "Yahoo! and alpha"]
+    want = [sorted(FS._scan_span(t, fsa)) for t in texts]
+    got = [sorted(m) for m in FS._scan_spans_batch(texts, fsa)]
+    assert got == want
+
+    # chunk-boundary coverage: force tiny chunks
+    old = FS._BLOB_CHUNK
+    FS._BLOB_CHUNK = 16
+    try:
+        got_small = [sorted(m) for m in FS._scan_spans_batch(texts, fsa)]
+    finally:
+        FS._BLOB_CHUNK = old
+    assert got_small == want
+
+
 def test_group_hashes_nonascii_fallback_matches_scalar():
     import numpy as np
 
