@@ -135,6 +135,7 @@ def embedding_neardup_approx(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_method: str = "udf",
 ) -> DataFrame:
     """Banded sign-LSH near-dup: same output contract as the exact path
     but sub-quadratic — a pair is a candidate iff it agrees on ALL bits of
@@ -144,18 +145,38 @@ def embedding_neardup_approx(
     Scale shape: one Arrow matrix product per batch for the band codes,
     an equi-join on (band, code) — bucket sizes ~n/2^band_bits per band —
     a distinct on the candidate pair, and an O(candidates) verify. No
-    cross product anywhere."""
+    cross product anywhere.
+
+    bucket_method: "udf" (Arrow matrix product — the fast path) or
+    "expr" (pure column expressions over the same literal planes —
+    bit-identical band codes, ANSI-SQL-expressible so the path can be
+    hash-gated by the driver's DuckDB oracle, same discipline as
+    lsh_topk)."""
     spark = corpus.sparkSession
     dim = len(corpus.select(vec_col).first()[0])
     planes = make_hyperplanes(dim, n_bands * band_bits, seed)
-    planes_bc = spark.sparkContext.broadcast(planes)
     base = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    coded = base.withColumn(
-        "codes", _band_codes_udf(planes_bc, n_bands, band_bits)(F.col("v"))
-    ).select("_id", "v", F.posexplode("codes").alias("band", "code"))
+    if bucket_method == "expr":
+        codes = F.array(*[
+            hyperplane_bucket_expr(
+                F.col("v"),
+                planes[b * band_bits:(b + 1) * band_bits],
+            )
+            for b in range(n_bands)
+        ])
+        coded = base.withColumn("codes", codes)
+    else:
+        planes_bc = spark.sparkContext.broadcast(planes)
+        coded = base.withColumn(
+            "codes",
+            _band_codes_udf(planes_bc, n_bands, band_bits)(F.col("v")),
+        )
+    coded = coded.select(
+        "_id", "v", F.posexplode("codes").alias("band", "code")
+    )
     a = coded.select(
         F.col("_id").alias("id_a"), "band", "code"
     )

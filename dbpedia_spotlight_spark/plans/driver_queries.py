@@ -399,6 +399,20 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """The banded sign-LSH near-dup SCALE path (what method='auto'
+    routes to at corpus size), with the expr bucket so the whole
+    algorithm — band codes, bucket join, distinct, exact verify — is
+    replicated in the DuckDB oracle over the same literal planes."""
+    from ..operators.ann import embedding_neardup_approx
+
+    return embedding_neardup_approx(
+        _emb(spark, sf_dir), threshold=0.3,
+        n_bands=_ND_BANDS, band_bits=_ND_BITS, seed=_LSH_SEED,
+        bucket_method="expr",
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
@@ -710,6 +724,34 @@ def _lsh_bucket_sql(vec: str) -> str:
             f" THEN {1 << j} ELSE 0 END"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+# banded sign-LSH near-dup gate: 4 bands x 4 bits over the same seeded
+# plane matrix the Spark expr path compiles (ann.embedding_neardup_approx
+# bucket_method="expr")
+_ND_BANDS, _ND_BITS = 4, 4
+
+
+def _neardup_bands_sql(vec: str) -> str:
+    """UNION ALL of per-band (vec_id, band, code) selects."""
+    from ..operators.ann import make_hyperplanes
+
+    planes = make_hyperplanes(_EMB_DIM, _ND_BANDS * _ND_BITS, _LSH_SEED)
+    selects = []
+    for b in range(_ND_BANDS):
+        terms = []
+        for j in range(_ND_BITS):
+            row = planes[b * _ND_BITS + j]
+            lits = ", ".join(repr(float(x)) for x in row)
+            terms.append(
+                f"CASE WHEN list_dot_product({vec}, [{lits}]) > 0"
+                f" THEN {1 << j} ELSE 0 END"
+            )
+        selects.append(
+            f"SELECT vec_id, {b} AS band, ({' + '.join(terms)}) AS code"
+            " FROM v"
+        )
+    return " UNION ALL ".join(selects)
 _MINHASH_BANDS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS bucket"
     " FROM sig"
@@ -900,6 +942,21 @@ s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       FROM v a JOIN v b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, round(cosine, 6) AS cosine FROM s WHERE cosine >= 0.3
 """,
+    "dedup_embedding_lsh": f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+c AS ({_neardup_bands_sql("v")}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM c a JOIN c b ON a.band = b.band AND a.code = b.code
+           AND a.vec_id < b.vec_id),
+s AS (SELECT id_a, id_b,
+        list_dot_product(x.v, y.v)
+          / (sqrt(list_dot_product(x.v, x.v))
+             * sqrt(list_dot_product(y.v, y.v))) AS cosine
+      FROM cand JOIN v x ON x.vec_id = cand.id_a
+                JOIN v y ON y.vec_id = cand.id_b)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM s WHERE cosine >= 0.3
+""",
     "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 10),
@@ -1060,6 +1117,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "porter2_stems": q_porter2_stems,

@@ -189,6 +189,29 @@ def test_embedding_neardup_auto_routes_by_size(clustered_vectors):
     assert routed <= exact and len(routed) / len(exact) >= 0.95
 
 
+def test_embedding_neardup_expr_equals_udf(clustered_vectors):
+    """The expr bucket (SQL-expressible, oracle-gated) must produce the
+    same pair set as the Arrow-UDF bucket over the same planes."""
+    from dbpedia_spotlight_spark.operators.ann import (
+        embedding_neardup_approx,
+    )
+
+    kw = dict(threshold=0.95, n_bands=4, band_bits=4, seed=42)
+    udf_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_approx(
+            clustered_vectors, bucket_method="udf", **kw
+        ).collect()
+    }
+    expr_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_approx(
+            clustered_vectors, bucket_method="expr", **kw
+        ).collect()
+    }
+    assert udf_pairs == expr_pairs and udf_pairs
+
+
 def test_lsh_topk_agrees_with_brute_force_mostly(vectors):
     bf = {
         r["query_id"]: r["neighbor_id"]
