@@ -409,7 +409,10 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return embedding_neardup_approx(
         _emb(spark, sf_dir), threshold=0.3,
         n_bands=_ND_BANDS, band_bits=_ND_BITS, seed=_LSH_SEED,
-        bucket_method="expr",
+        bucket_method="udf",
+        # the PRODUCTION Arrow-UDF bucket kernel; bit-identical to the
+        # expr twin (tested), so the DuckDB oracle (literal planes)
+        # hash-verifies the real path, not a SQL-shaped stand-in
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -425,7 +428,9 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    return lsh_topk(emb, k=3, n_bits=6, bucket_method="expr").select(
+    # production Arrow-UDF bucket (bit-identical to the expr twin the
+    # oracle inlines — hyperplane_bucket_expr docstring + parity test)
+    return lsh_topk(emb, k=3, n_bits=6, bucket_method="udf").select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
 
