@@ -4,15 +4,19 @@ Image/audio/video payloads are opaque `binary` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched kernels over mapInPandas.
 
-Decode is REAL for three codec-library-free formats (plain bytes +
-numpy):
+Decode is REAL for four codec-library-free formats (plain bytes +
+numpy + stdlib zlib):
   * Netpbm (PGM P2/P5, PPM P3/P6) — dimensions, per-channel statistics
     features, nearest-neighbor pixel resize with re-encode;
   * uncompressed BMP (8-bit paletted / 24/32-bit BI_RGB, either row
     order, padding handled) — same feature/resize path, BMP re-encode;
+  * PNG (8-bit non-interlaced, color types 0/2/3/4/6, all five
+    scanline filters, CRC-verified chunk walk; DEFLATE via the
+    Python stdlib's zlib) — same feature/resize path, PNG re-encode;
   * PCM WAV audio (8/16-bit, any channel count, RIFF chunk walk) —
     duration/rms/peak/zero-crossing/energy features.
-Entropy-coded formats (JPEG/PNG/MP3/video) remain STUBBED: they raise
+Formats whose entropy coding has no stdlib codec (JPEG/MP3/video)
+remain STUBBED: they raise
 NotImplementedError unless `fake=True` selects the deterministic
 md5-derived test double — the Spark-side plumbing (schema, batching,
 partitioning, UDF signature) is identical either way.
@@ -26,6 +30,7 @@ through; SURVEY.md §1.2).
 from __future__ import annotations
 
 import hashlib
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -182,6 +187,168 @@ def encode_bmp(px: np.ndarray) -> bytes:
     return hdr + body
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def parse_png(data: bytes) -> np.ndarray:
+    """Baseline PNG decoder (stdlib zlib + numpy, no codec library)
+    -> HxWxC uint8 (C=1 gray or 3 RGB; alpha dropped, palette
+    expanded).
+
+    Real entropy decode: the IDAT stream is DEFLATE, inflated with the
+    stdlib's zlib; scanline unfiltering implements all five PNG filter
+    types (None/Sub/Up/Average/Paeth). Supported layout: 8-bit depth,
+    non-interlaced, color types 0/2/3/4/6. Chunk CRCs are verified."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = color_type = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        clen = int.from_bytes(data[pos:pos + 4], "big")
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + clen]
+        crc = int.from_bytes(data[pos + 8 + clen:pos + 12 + clen], "big")
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type, comp, filt, interlace = body[8:13]
+            if bit_depth != 8:
+                raise ValueError(f"only 8-bit PNG: depth {bit_depth}")
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard PNG compression/filter")
+            if interlace != 0:
+                raise ValueError("Adam7 interlaced PNG not supported")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unknown PNG color type {color_type}")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    nch = _PNG_CHANNELS[color_type]
+    stride = width * nch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    raw = raw.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ft = int(raw[y, 0])
+        row = raw[y, 1:].copy()
+        if ft == 0:  # None
+            pass
+        elif ft == 1:  # Sub: prefix sum over columns strided by bpp
+            row = np.cumsum(
+                row.reshape(width, nch), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif ft == 2:  # Up
+            row += prev
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - nch]) if i >= nch else 0
+                row[i] = (int(row[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = int(row[i - nch]) if i >= nch else 0
+                ul = int(prev[i - nch]) if i >= nch else 0
+                row[i] = (
+                    int(row[i]) + _paeth(left, int(prev[i]), ul)
+                ) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = row
+        prev = row
+    px = out.reshape(height, width, nch)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("paletted PNG missing PLTE")
+        px = palette[px[:, :, 0]]
+    elif color_type == 4:  # gray+alpha -> gray
+        px = px[:, :, :1]
+    elif color_type == 6:  # RGBA -> RGB
+        px = px[:, :, :3]
+    return np.ascontiguousarray(px)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big") + ctype + body
+        + zlib.crc32(ctype + body).to_bytes(4, "big")
+    )
+
+
+def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
+    """HxWxC uint8 (C=1 gray / C=3 RGB) -> PNG bytes.
+
+    filter_type applies one PNG filter to every scanline (the forward
+    transform — the decoder must invert it, which makes non-zero
+    filters a round-trip oracle for the unfiltering code, not just a
+    size optimization)."""
+    h, w, c = px.shape
+    color_type = 0 if c == 1 else 2
+    flat = px.reshape(h, w * c).astype(np.int16)
+    lines = []
+    prev = np.zeros(w * c, dtype=np.int16)
+    for y in range(h):
+        cur = flat[y]
+        left = np.zeros_like(cur)
+        left[c:] = cur[:-c]
+        ul = np.zeros_like(prev)
+        ul[c:] = prev[:-c]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - (left + prev) // 2
+        elif filter_type == 4:
+            pred = np.array(
+                [_paeth(int(a), int(b), int(cc))
+                 for a, b, cc in zip(left, prev, ul)],
+                dtype=np.int16,
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"bad PNG filter type {filter_type}")
+        lines.append(bytes([filter_type]) + (enc & 0xFF).astype(
+            np.uint8).tobytes())
+        prev = cur
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def parse_wav(data: bytes) -> tuple[int, np.ndarray]:
     """PCM WAV decoder (RIFF chunk walk, pure numpy) ->
     (sample_rate, samples[n, channels] as float64 in [-1, 1]).
@@ -277,11 +444,12 @@ def decode_media(
     """(media_ref, payload, ...) -> (media_ref, width, height, n_frames,
     features). Arrow-batched mapInPandas; one python call per batch.
 
-    REAL decodes: Netpbm (PGM/PPM), uncompressed BMP, and PCM WAV audio
-    (for audio: width = sample rate, height = channel count, n_frames =
-    sample count, features = duration/rms/peak/zcr stats). Formats
-    needing entropy codecs (JPEG/PNG/MP3/video) raise
-    NotImplementedError unless fake=True selects the test double."""
+    REAL decodes: Netpbm (PGM/PPM), uncompressed BMP, PNG (stdlib
+    zlib inflate), and PCM WAV audio (for audio: width = sample rate,
+    height = channel count, n_frames = sample count, features =
+    duration/rms/peak/zcr stats). Formats whose entropy coding has no
+    stdlib codec (JPEG/MP3/video) raise NotImplementedError unless
+    fake=True selects the test double."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -291,11 +459,17 @@ def decode_media(
                 raw = bytes(payload) if payload is not None else b""
                 if fake:
                     w, h, nf, feats = _fake_decode(raw, batch_features)
-                elif raw[:2] in _NETPBM_MAGICS or raw[:2] == b"BM":
-                    px = (
-                        parse_bmp(raw) if raw[:2] == b"BM"
-                        else parse_netpbm(raw)
-                    )
+                elif (
+                    raw[:2] in _NETPBM_MAGICS
+                    or raw[:2] == b"BM"
+                    or raw[:8] == _PNG_MAGIC
+                ):
+                    if raw[:8] == _PNG_MAGIC:
+                        px = parse_png(raw)
+                    elif raw[:2] == b"BM":
+                        px = parse_bmp(raw)
+                    else:
+                        px = parse_netpbm(raw)
                     h, w = px.shape[0], px.shape[1]
                     nf = 1
                     feats = _netpbm_features(px)
@@ -306,8 +480,8 @@ def decode_media(
                     feats = _wav_features(rate, samples)
                 else:
                     raise NotImplementedError(
-                        "netpbm (PGM/PPM), uncompressed BMP and PCM WAV "
-                        "decode natively; entropy-coded formats need "
+                        "netpbm (PGM/PPM), uncompressed BMP, PNG and "
+                        "PCM WAV decode natively; JPEG/MP3/video need "
                         "codec libraries not present in this environment "
                         "— pass fake=True for the deterministic test "
                         "double"
@@ -325,7 +499,7 @@ def decode_media(
 
 
 def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
-    """REAL pixel resize for netpbm/BMP payloads: nearest-neighbor
+    """REAL pixel resize for netpbm/BMP/PNG payloads: nearest-neighbor
     downscale preserving aspect ratio, re-encoded in the same container.
     -> (media_ref, payload, width, height)."""
 
@@ -336,7 +510,13 @@ def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 raw = bytes(payload)
                 is_bmp = raw[:2] == b"BM"
-                px = parse_bmp(raw) if is_bmp else parse_netpbm(raw)
+                is_png = raw[:8] == _PNG_MAGIC
+                if is_png:
+                    px = parse_png(raw)
+                elif is_bmp:
+                    px = parse_bmp(raw)
+                else:
+                    px = parse_netpbm(raw)
                 h, w = px.shape[0], px.shape[1]
                 scale = min(1.0, max_side / max(w, h))
                 ow = max(1, int(round(w * scale)))
@@ -345,9 +525,13 @@ def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
                 xi = (np.arange(ow) * (w / ow)).astype(int)
                 out = px[yi][:, xi]
                 rows["media_ref"].append(ref)
-                rows["payload"].append(
-                    encode_bmp(out) if is_bmp else encode_netpbm(out)
-                )
+                if is_png:
+                    enc = encode_png(out)
+                elif is_bmp:
+                    enc = encode_bmp(out)
+                else:
+                    enc = encode_netpbm(out)
+                rows["payload"].append(enc)
                 rows["width"].append(ow)
                 rows["height"].append(oh)
             yield pd.DataFrame(rows)
