@@ -319,6 +319,84 @@ def q_context_scores(spark, sf_dir):
     )
 
 
+# fixed mixture hyper-parameters for the gate (FaderMixture.scala
+# constructor args are caller-supplied; pinned here so the SQL twin can
+# inline them)
+_MIX_CW = 0.3
+_MIX_ALPHA = 10000.0
+_MIX_SURROGATES = 5
+
+
+def q_mixture_scores(spark, sf_dir):
+    """All five score mixtures over the corpus candidate table — the
+    production column builders from operators/mixtures.py applied to
+    P(e|s), P(e) and a deterministic context channel (ln P(e|s), so the
+    gate needs no scoring model and stays a pure-arithmetic twin)."""
+    from ..operators.mixtures import (
+        fader2_mixture,
+        fader_mixture,
+        linear_regression_feature_mixture,
+        linear_regression_mixture,
+        unweighted_mixture,
+    )
+
+    pc = q_pair_counts(spark, sf_dir)
+    sf_tot = pc.groupBy("sf").agg(F.sum("pair_count").alias("sf_total"))
+    uc = _docs(spark, sf_dir).groupBy(F.col("source").alias("uri")).agg(
+        F.count("*").alias("support")
+    )
+    n_docs = uc.agg(F.sum("support").alias("_n"))
+    cand = (
+        pc.join(F.broadcast(sf_tot), "sf")
+        .join(F.broadcast(uc), "uri")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "sf",
+            "uri",
+            (F.col("pair_count") / F.col("sf_total")).alias("cand_prior"),
+            (F.col("support") / F.col("_n")).alias("res_prior"),
+        )
+    )
+    ctx_raw = F.log(F.col("cand_prior"))
+    feats = {
+        "P(s|e)": F.log(F.col("cand_prior")),
+        "P(c|e)": ctx_raw,
+        "P(e)": F.log(F.col("res_prior")),
+    }
+    return cand.select(
+        "sf",
+        "uri",
+        F.round(
+            unweighted_mixture(
+                F.log("cand_prior"), ctx_raw, F.log("res_prior")
+            ),
+            6,
+        ).alias("mix_unweighted"),
+        F.round(
+            linear_regression_mixture(F.col("res_prior"), ctx_raw), 6
+        ).alias("mix_linreg"),
+        F.round(
+            fader_mixture(
+                ctx_raw, F.col("res_prior"), _MIX_CW, _MIX_ALPHA,
+                _MIX_SURROGATES,
+            ),
+            6,
+        ).alias("mix_fader"),
+        F.round(
+            fader2_mixture(ctx_raw, F.col("res_prior"), _MIX_CW, _MIX_ALPHA),
+            6,
+        ).alias("mix_fader2"),
+        F.round(
+            linear_regression_feature_mixture(
+                feats,
+                (("P(s|e)", 0.2), ("P(c|e)", 0.5), ("P(e)", 0.3)),
+                0.1,
+            ),
+            6,
+        ).alias("mix_linregfeat"),
+    )
+
+
 def q_support_filter(spark, sf_dir):
     linked = q_prior_disambiguation(spark, sf_dir)
     uc = q_uri_counts(spark, sf_dir).select("uri", "support")
@@ -802,6 +880,35 @@ ORACLE_SQL: dict[str, str] = {
         "     ORDER BY pair_count DESC, uri ASC) AS rn FROM pc)"
         " WHERE rn <= 3"
     ),
+    # independent re-derivation of the five mixture formulas from the
+    # reference files cited in operators/mixtures.py (NOT the column
+    # builders): ctx = ln P(e|s), prominence = 1 + ln(1 + P(e)*alpha)
+    "mixture_scores": f"""
+WITH {_TOK_CTE}, {_PC_CTE},
+sft AS (SELECT sf, sum(pair_count) AS sf_total FROM pc GROUP BY sf),
+uc AS (SELECT source AS uri, count(*) AS support FROM documents
+       GROUP BY source),
+n AS (SELECT count(*) AS n_docs FROM documents),
+cand AS (
+  SELECT pc.sf, pc.uri,
+    pc.pair_count / CAST(sft.sf_total AS DOUBLE) AS cand_prior,
+    uc.support / CAST(n.n_docs AS DOUBLE) AS res_prior
+  FROM pc JOIN sft USING (sf) JOIN uc ON uc.uri = pc.uri CROSS JOIN n)
+SELECT sf, uri,
+  round(ln(cand_prior) + ln(cand_prior) + ln(res_prior), 6)
+    AS mix_unweighted,
+  round(1234.3989 * res_prior + 0.9968 * ln(cand_prior) - 0.0275, 6)
+    AS mix_linreg,
+  round(ln(cand_prior) * ({_MIX_CW / _MIX_SURROGATES!r}
+    + {1.0 - _MIX_CW!r} * (1.0 + ln(1.0 + res_prior * {_MIX_ALPHA!r}))), 6)
+    AS mix_fader,
+  round({_MIX_CW!r} * ln(cand_prior)
+    + {1.0 - _MIX_CW!r} * (1.0 + ln(1.0 + res_prior * {_MIX_ALPHA!r})), 6)
+    AS mix_fader2,
+  round(0.1 + 0.2 * ln(cand_prior) + 0.5 * ln(cand_prior)
+    + 0.3 * ln(res_prior), 6) AS mix_linregfeat
+FROM cand
+""",
     "context_scores": f"""
 WITH {_TOK_CTE},
 vocab AS (SELECT token, count(*) AS c FROM tok WHERE token <> ''
@@ -1113,6 +1220,7 @@ QUERIES = {
     "spot_fsa_dict": q_spot_fsa_dict,
     "prior_disambiguation": q_prior_disambiguation,
     "candidate_topk": q_candidate_topk,
+    "mixture_scores": q_mixture_scores,
     "context_scores": q_context_scores,
     "support_filter": q_support_filter,
     "redirect_closure": q_redirect_closure,
