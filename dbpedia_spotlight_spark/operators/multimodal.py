@@ -4,7 +4,7 @@ Image/audio/video payloads are opaque `binary` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched kernels over mapInPandas.
 
-Decode is REAL for four codec-library-free formats (plain bytes +
+Decode is REAL for five codec-library-free formats (plain bytes +
 numpy + stdlib zlib):
   * Netpbm (PGM P2/P5, PPM P3/P6) — dimensions, per-channel statistics
     features, nearest-neighbor pixel resize with re-encode;
@@ -13,6 +13,9 @@ numpy + stdlib zlib):
   * PNG (8-bit non-interlaced, color types 0/2/3/4/6, all five
     scanline filters, CRC-verified chunk walk; DEFLATE via the
     Python stdlib's zlib) — same feature/resize path, PNG re-encode;
+  * GIF87a/89a (variable-width LSB-packed LZW entropy decode in pure
+    python, global/local palettes, interlacing, multi-frame counting)
+    — n_frames is REAL for animated GIFs, feeding sample_frames;
   * PCM WAV audio (8/16-bit, any channel count, RIFF chunk walk) —
     duration/rms/peak/zero-crossing/energy features.
 Formats whose entropy coding has no stdlib codec (JPEG/MP3/video)
@@ -349,6 +352,210 @@ def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW decode (codes packed LSB-first, dynamic code
+    width 3..12 bits, clear/EOI codes) -> palette index list."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def reset():
+        return (
+            {i: (i,) for i in range(clear)},
+            min_code_size + 1,
+            clear + 2,
+        )
+
+    table, width, next_code = reset()
+    out: list[int] = []
+    acc = nbits = 0
+    prev: tuple[int, ...] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width, next_code = reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + (prev[0],)  # the KwKwK case
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-variant LZW encode (the forward transform; the decoder must
+    invert it — a lossless round-trip oracle)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = {(i,): i for i in range(clear)}
+    width = min_code_size + 1
+    next_code = clear + 2
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run: tuple[int, ...] = ()
+    for idx in indices:
+        cand = run + (idx,)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = clear + 2
+        run = (idx,)
+    if run:
+        emit(table[run])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+_GIF_DEINTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def parse_gif(data: bytes) -> tuple[np.ndarray, int]:
+    """GIF87a/89a decoder (pure python LZW + numpy) ->
+    (first frame as HxWx3 uint8, n_frames).
+
+    Real entropy decode: variable-width LSB-packed LZW with clear/EOI
+    handling and the KwKwK case; interlaced frames are reordered by the
+    four-pass scheme. Extensions (GCE/comment/app) are skipped by the
+    sub-block walk; later frames are counted, not composited."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(
+            data, dtype=np.uint8, count=n * 3, offset=pos
+        ).reshape(n, 3)
+        pos += n * 3
+
+    def skip_subblocks(p):
+        while data[p]:
+            p += 1 + data[p]
+        return p + 1
+
+    first: np.ndarray | None = None
+    n_frames = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+        w = int.from_bytes(data[pos + 5:pos + 7], "little")
+        h = int.from_bytes(data[pos + 7:pos + 9], "little")
+        iflags = data[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(
+                data, dtype=np.uint8, count=n * 3, offset=pos
+            ).reshape(n, 3)
+            pos += n * 3
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        n_frames += 1
+        if first is None:
+            if pal is None:
+                raise ValueError("GIF frame without a color table")
+            idx = np.array(
+                _gif_lzw_decode(bytes(lzw), min_code)[: w * h],
+                dtype=np.int32,
+            ).reshape(h, w)
+            if iflags & 0x40:  # interlaced: four-pass row order
+                rows = np.concatenate(
+                    [np.arange(start, h, step)
+                     for start, step in _GIF_DEINTERLACE_PASSES]
+                )
+                deint = np.empty_like(idx)
+                deint[rows] = idx
+                idx = deint
+            first = pal[idx]
+    if first is None:
+        raise ValueError("GIF with no image frame")
+    del sw, sh
+    return np.ascontiguousarray(first), n_frames
+
+
+def encode_gif(px: np.ndarray) -> bytes:
+    """HxWxC uint8 (≤256 distinct colors) -> single-frame GIF89a."""
+    h, w, c = px.shape
+    if c == 1:
+        px = np.repeat(px, 3, axis=2)
+    flat = px.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif needs <=256 distinct colors")
+    bits = max(1, int(len(colors) - 1).bit_length())
+    pal = np.zeros((2 ** bits, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    min_code = max(2, bits)
+    body = _gif_lzw_encode(inverse.tolist(), min_code)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + b"\x00" * 4
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    out += bytes([min_code])
+    for i in range(0, len(body), 255):
+        chunk = body[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def parse_wav(data: bytes) -> tuple[int, np.ndarray]:
     """PCM WAV decoder (RIFF chunk walk, pure numpy) ->
     (sample_rate, samples[n, channels] as float64 in [-1, 1]).
@@ -463,15 +670,18 @@ def decode_media(
                     raw[:2] in _NETPBM_MAGICS
                     or raw[:2] == b"BM"
                     or raw[:8] == _PNG_MAGIC
+                    or raw[:6] in _GIF_MAGICS
                 ):
+                    nf = 1
                     if raw[:8] == _PNG_MAGIC:
                         px = parse_png(raw)
+                    elif raw[:6] in _GIF_MAGICS:
+                        px, nf = parse_gif(raw)
                     elif raw[:2] == b"BM":
                         px = parse_bmp(raw)
                     else:
                         px = parse_netpbm(raw)
                     h, w = px.shape[0], px.shape[1]
-                    nf = 1
                     feats = _netpbm_features(px)
                 elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
                     rate, samples = parse_wav(raw)
@@ -480,8 +690,8 @@ def decode_media(
                     feats = _wav_features(rate, samples)
                 else:
                     raise NotImplementedError(
-                        "netpbm (PGM/PPM), uncompressed BMP, PNG and "
-                        "PCM WAV decode natively; JPEG/MP3/video need "
+                        "netpbm (PGM/PPM), uncompressed BMP, PNG, GIF "
+                        "and PCM WAV decode natively; JPEG/MP3/video need "
                         "codec libraries not present in this environment "
                         "— pass fake=True for the deterministic test "
                         "double"
@@ -511,8 +721,11 @@ def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
                 raw = bytes(payload)
                 is_bmp = raw[:2] == b"BM"
                 is_png = raw[:8] == _PNG_MAGIC
+                is_gif = raw[:6] in _GIF_MAGICS
                 if is_png:
                     px = parse_png(raw)
+                elif is_gif:
+                    px, _ = parse_gif(raw)
                 elif is_bmp:
                     px = parse_bmp(raw)
                 else:
@@ -527,6 +740,8 @@ def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
                 rows["media_ref"].append(ref)
                 if is_png:
                     enc = encode_png(out)
+                elif is_gif:
+                    enc = encode_gif(out)
                 elif is_bmp:
                     enc = encode_bmp(out)
                 else:
