@@ -97,10 +97,15 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(
-        rows, "mention_key string, cluster_id string"
+    import pandas as pd
+
+    nodes = list(parent)
+    out = pd.DataFrame(
+        {"mention_key": nodes, "cluster_id": [find(n) for n in nodes]}
     )
+    # pandas input takes the Arrow serialization path (a row-tuple list
+    # would pickle per element)
+    return spark.createDataFrame(out, "mention_key string, cluster_id string")
 
 
 def connected_components(
@@ -122,13 +127,20 @@ def connected_components(
     spark = edges.sparkSession
     cur = edges.select("src", "dst").filter(
         F.col("src") != F.col("dst")
-    ).distinct()
+    )
     if store is None:
         # materialize the input once — the signature check plus the first
-        # iteration otherwise recompute the upstream edge derivation 3x
+        # iteration otherwise recompute the upstream edge derivation 3x.
+        # distinct waits until AFTER the strategy choice: union-find is
+        # duplicate-tolerant, so the driver path never pays that shuffle
+        # (the raw count can only OVERestimate, which errs toward the
+        # distributed loop — the safe direction)
         cur = cur.localCheckpoint()
         if not force_distributed and cur.count() <= DRIVER_CC_MAX_EDGES:
             return _driver_union_find(cur)
+        cur = cur.distinct()
+    else:
+        cur = cur.distinct()
 
     start_step = 0
     if store is not None:
