@@ -4,7 +4,7 @@ Image/audio/video payloads are opaque `binary` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched kernels over mapInPandas.
 
-Decode is REAL for five codec-library-free formats (plain bytes +
+Decode is REAL for six codec-library-free formats (plain bytes +
 numpy + stdlib zlib):
   * Netpbm (PGM P2/P5, PPM P3/P6) — dimensions, per-channel statistics
     features, nearest-neighbor pixel resize with re-encode;
@@ -16,9 +16,13 @@ numpy + stdlib zlib):
   * GIF87a/89a (variable-width LSB-packed LZW entropy decode in pure
     python, global/local palettes, interlacing, multi-frame counting)
     — n_frames is REAL for animated GIFs, feeding sample_frames;
+  * baseline JPEG (SOF0: table-driven canonical Huffman from the
+    stream's DHT, vectorized dequant + IDCT, 4:4:4 and 4:2:0, restart
+    markers — see operators/jpeg.py) — decode, features, resize with
+    JPEG re-encode;
   * PCM WAV audio (8/16-bit, any channel count, RIFF chunk walk) —
     duration/rms/peak/zero-crossing/energy features.
-Formats whose entropy coding has no stdlib codec (JPEG/MP3/video)
+Formats with no feasible pure-python codec here (MP3/video)
 remain STUBBED: they raise
 NotImplementedError unless `fake=True` selects the deterministic
 md5-derived test double — the Spark-side plumbing (schema, batching,
@@ -40,6 +44,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .jpeg import encode_jpeg, parse_jpeg
 
 MEDIA_SCHEMA = (
     "media_ref string, media_type string, payload binary, meta_width int,"
@@ -652,11 +658,11 @@ def decode_media(
     features). Arrow-batched mapInPandas; one python call per batch.
 
     REAL decodes: Netpbm (PGM/PPM), uncompressed BMP, PNG (stdlib
-    zlib inflate), and PCM WAV audio (for audio: width = sample rate,
-    height = channel count, n_frames = sample count, features =
-    duration/rms/peak/zcr stats). Formats whose entropy coding has no
-    stdlib codec (JPEG/MP3/video) raise NotImplementedError unless
-    fake=True selects the test double."""
+    zlib inflate), GIF (pure-python LZW), baseline JPEG (pure-python
+    Huffman + numpy DCT), and PCM WAV audio (for audio: width = sample
+    rate, height = channel count, n_frames = sample count, features =
+    duration/rms/peak/zcr stats). MP3/video raise NotImplementedError
+    unless fake=True selects the test double."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -671,12 +677,15 @@ def decode_media(
                     or raw[:2] == b"BM"
                     or raw[:8] == _PNG_MAGIC
                     or raw[:6] in _GIF_MAGICS
+                    or raw[:2] == b"\xff\xd8"
                 ):
                     nf = 1
                     if raw[:8] == _PNG_MAGIC:
                         px = parse_png(raw)
                     elif raw[:6] in _GIF_MAGICS:
                         px, nf = parse_gif(raw)
+                    elif raw[:2] == b"\xff\xd8":
+                        px = parse_jpeg(raw)
                     elif raw[:2] == b"BM":
                         px = parse_bmp(raw)
                     else:
@@ -690,11 +699,11 @@ def decode_media(
                     feats = _wav_features(rate, samples)
                 else:
                     raise NotImplementedError(
-                        "netpbm (PGM/PPM), uncompressed BMP, PNG, GIF "
-                        "and PCM WAV decode natively; JPEG/MP3/video need "
-                        "codec libraries not present in this environment "
-                        "— pass fake=True for the deterministic test "
-                        "double"
+                        "netpbm (PGM/PPM), uncompressed BMP, PNG, GIF, "
+                        "baseline JPEG and PCM WAV decode natively; "
+                        "MP3/video need codec libraries not present in "
+                        "this environment — pass fake=True for the "
+                        "deterministic test double"
                     )
                 rows["media_ref"].append(ref)
                 rows["width"].append(w)
@@ -722,10 +731,13 @@ def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
                 is_bmp = raw[:2] == b"BM"
                 is_png = raw[:8] == _PNG_MAGIC
                 is_gif = raw[:6] in _GIF_MAGICS
+                is_jpg = raw[:2] == b"\xff\xd8"
                 if is_png:
                     px = parse_png(raw)
                 elif is_gif:
                     px, _ = parse_gif(raw)
+                elif is_jpg:
+                    px = parse_jpeg(raw)
                 elif is_bmp:
                     px = parse_bmp(raw)
                 else:
@@ -742,6 +754,8 @@ def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
                     enc = encode_png(out)
                 elif is_gif:
                     enc = encode_gif(out)
+                elif is_jpg:
+                    enc = encode_jpeg(out)
                 elif is_bmp:
                     enc = encode_bmp(out)
                 else:

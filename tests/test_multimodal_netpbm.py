@@ -52,8 +52,10 @@ def test_decode_media_real_netpbm(spark):
 
 
 def test_decode_media_non_netpbm_raises_without_fake(spark):
+    # MP3 (ID3 container) is still a stubbed format; JPEG/PNG/GIF now
+    # decode for real
     media = spark.createDataFrame(
-        [("File:x.jpg", bytearray(b"\xff\xd8\xff"))],
+        [("File:x.mp3", bytearray(b"ID3\x04\x00\x00\x00\x00\x00\x00"))],
         "media_ref string, payload binary",
     )
     with pytest.raises(Exception, match="NotImplementedError|netpbm"):
