@@ -513,6 +513,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (rows-only driver check: the inverted-list
+    centroids are TRAINED from the data inside Spark, so no static SQL
+    twin exists — recall vs the exact brute force is pinned in
+    tests/test_training_ops.py instead)."""
+    from ..operators.ann import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), k=3, n_probe=2).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_porter2_stems(spark, sf_dir):
     """(token, stem) over the corpus vocabulary — the model build's
     distinct-vocab stemming dimension (stem.py scale path)."""
@@ -1233,6 +1245,7 @@ QUERIES = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "porter2_stems": q_porter2_stems,
     "porter2_vectors": q_porter2_vectors,
     "token_counts_stemmed": q_token_counts_stemmed,
