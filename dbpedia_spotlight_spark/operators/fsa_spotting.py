@@ -255,6 +255,19 @@ def build_fsa_dictionary(
     )
 
 
+def _member_sorted(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Membership of values in an ALREADY-SORTED array (the by_n hash
+    arrays come from np.unique) via binary search: O(n log m) per batch,
+    vs np.isin's sort of the full dictionary on every call."""
+    pos = np.searchsorted(sorted_arr, values)
+    ok = pos < len(sorted_arr)
+    hit = np.zeros(len(values), dtype=bool)
+    if ok.any():
+        idx = np.nonzero(ok)[0]
+        hit[idx] = sorted_arr[pos[idx]] == values[idx]
+    return hit
+
+
 def _residue_matches(text: str, fsa: FSADictionary) -> list:
     """Word-bounded matches of the boundary-edged residue automaton;
     bound-checking BEFORE the greedy sweep is equivalent to the AC
@@ -289,7 +302,7 @@ def _scan_one(low: str, text: str, fsa: FSADictionary) -> list:
             if n > n_tok:
                 continue
             gh = _ngram_hashes(h, n)
-            hit_idx = np.nonzero(np.isin(gh, hashes))[0]
+            hit_idx = np.nonzero(_member_sorted(hashes, gh))[0]
             if not len(hit_idx):
                 continue
             for b, e in zip(
@@ -370,7 +383,7 @@ def _scan_ascii_chunk(
             continue
         gh = _ngram_hashes(h, n)
         same_span = tok_span[: len(gh)] == tok_span[n - 1:]
-        hit_idx = np.nonzero(np.isin(gh, hashes) & same_span)[0]
+        hit_idx = np.nonzero(_member_sorted(hashes, gh) & same_span)[0]
         if not len(hit_idx):
             continue
         # bulk-gather hit coordinates once (numpy scalar indexing
