@@ -462,10 +462,10 @@ def parse_gif(data: bytes) -> tuple[np.ndarray, int]:
     handling and the KwKwK case; interlaced frames are reordered by the
     four-pass scheme. Extensions (GCE/comment/app) are skipped by the
     sub-block walk; later frames are counted, not composited."""
-    if data[:6] not in (b"GIF87a", b"GIF89a"):
+    if data[:6] not in _GIF_MAGICS:
         raise ValueError("not a GIF payload")
-    sw = int.from_bytes(data[6:8], "little")
-    sh = int.from_bytes(data[8:10], "little")
+    # bytes 6-9 are the logical screen size; frames carry their own
+    # dimensions, which is what the decode returns
     flags = data[10]
     pos = 13
     gct = None
@@ -530,7 +530,6 @@ def parse_gif(data: bytes) -> tuple[np.ndarray, int]:
             first = pal[idx]
     if first is None:
         raise ValueError("GIF with no image frame")
-    del sw, sh
     return np.ascontiguousarray(first), n_frames
 
 
