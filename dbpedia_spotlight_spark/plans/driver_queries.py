@@ -397,6 +397,33 @@ def q_mixture_scores(spark, sf_dir):
     )
 
 
+def q_tficf_cosine(spark, sf_dir):
+    """The north star's TF-ICF context cosine as pairwise doc
+    similarity — the production sparse explode/join/groupBy-sum channel
+    (operators/pairs.py) over the corpus-derived model, all doc pairs
+    among doc_id < 24."""
+    from ..operators.pairs import context_cosine_channel, doc_tfidf_vectors
+
+    model, _ = _ctx_model(spark, sf_dir)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 24)
+    vec, norms = doc_tfidf_vectors(_spanize(docs), model, stopwords=[])
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("ia"))
+        .crossJoin(ids.select(F.col("doc_id").alias("ib")))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").cast("string").alias("doc_id_a"),
+            F.col("ib").cast("string").alias("doc_id_b"),
+        )
+    )
+    return context_cosine_channel(pairs, vec, norms).select(
+        F.col("doc_id_a").cast("bigint").alias("doc_id_a"),
+        F.col("doc_id_b").cast("bigint").alias("doc_id_b"),
+        F.round("ctx_cosine", 6).alias("ctx_cosine"),
+    )
+
+
 def q_support_filter(spark, sf_dir):
     linked = q_prior_disambiguation(spark, sf_dir)
     uc = q_uri_counts(spark, sf_dir).select("uri", "support")
@@ -921,6 +948,42 @@ SELECT sf, uri,
     + 0.3 * ln(res_prior), 6) AS mix_linregfeat
 FROM cand
 """,
+    # TF-ICF cosine re-derived from CachedInvCandFreqSimilarity.java:96-97
+    # (icf = ln(maxCf/cf)+1 over resource doc frequencies) + a sparse dot
+    # product, independent of the operators/pairs.py column pipeline
+    "tficf_cosine": f"""
+WITH {_TOK_CTE},
+vocab AS (SELECT token, count(*) AS cnt FROM tok WHERE token <> ''
+          GROUP BY token HAVING count(*) >= {MIN_TOKEN_COUNT}),
+ctx AS (SELECT source, token, count(*) AS c FROM tok
+        WHERE token IN (SELECT token FROM vocab) GROUP BY 1, 2),
+cf AS (SELECT token, count(DISTINCT source) AS cf FROM ctx GROUP BY token),
+icf AS (SELECT token,
+          ln((SELECT CAST(max(cf) AS DOUBLE) FROM cf) / cf) + 1.0 AS icf
+        FROM cf),
+bag AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        WHERE doc_id < 24 AND token <> '' GROUP BY 1, 2),
+vec AS (SELECT b.doc_id, b.token, b.tf * i.icf AS w
+        FROM bag b JOIN icf i USING (token)),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM vec
+          GROUP BY doc_id),
+ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 24),
+pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+          FROM ids a JOIN ids b ON a.doc_id < b.doc_id),
+dots AS (SELECT p.da, p.db, sum(va.w * vb.w) AS dot
+         FROM pairs p
+         JOIN vec va ON va.doc_id = p.da
+         JOIN vec vb ON vb.doc_id = p.db AND vb.token = va.token
+         GROUP BY 1, 2)
+SELECT p.da AS doc_id_a, p.db AS doc_id_b,
+  round(CASE WHEN coalesce(n1.norm, 0) > 0 AND coalesce(n2.norm, 0) > 0
+             THEN coalesce(d.dot, 0) / (n1.norm * n2.norm)
+             ELSE 0 END, 6) AS ctx_cosine
+FROM pairs p
+LEFT JOIN dots d ON d.da = p.da AND d.db = p.db
+LEFT JOIN norms n1 ON n1.doc_id = p.da
+LEFT JOIN norms n2 ON n2.doc_id = p.db
+""",
     "context_scores": f"""
 WITH {_TOK_CTE},
 vocab AS (SELECT token, count(*) AS c FROM tok WHERE token <> ''
@@ -1233,6 +1296,7 @@ QUERIES = {
     "prior_disambiguation": q_prior_disambiguation,
     "candidate_topk": q_candidate_topk,
     "mixture_scores": q_mixture_scores,
+    "tficf_cosine": q_tficf_cosine,
     "context_scores": q_context_scores,
     "support_filter": q_support_filter,
     "redirect_closure": q_redirect_closure,
