@@ -424,6 +424,57 @@ def q_tficf_cosine(spark, sf_dir):
     )
 
 
+def q_coref_resolution(spark, sf_dir):
+    """AnnotationFilter coreference over synthesized mentions: per doc,
+    an ALL-CAPS two-word mention (begin 0), the same word alone (begin
+    7 — must inherit the first mention's uri/scores), and a lowercase
+    word (begin 9 — must keep its own). Runs the PRODUCTION
+    applyInPandas operator; the oracle re-derives the first-earlier-
+    capitalized-word-containing donor rule in flat SQL."""
+    from ..operators.filters import coreference_resolution
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    mk = lambda b: F.concat_ws(  # noqa: E731
+        ":", F.col("doc_id").cast("string"), F.lit(str(b))
+    )
+    score = F.col("doc_id").cast("double") / 10.0
+    rows = [
+        docs.select(
+            mk(0).alias("mention_key"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit(0).cast("int").alias("begin"),
+            F.concat(F.upper("source"), F.lit(" HQ")).alias("sf"),
+            F.col("source").alias("uri"),
+            score.alias("final_score"),
+            F.lit(0.25).alias("pct_second_rank"),
+        ),
+        docs.select(
+            mk(7).alias("mention_key"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit(7).cast("int").alias("begin"),
+            F.upper("source").alias("sf"),
+            F.concat(F.col("source"), F.lit("_wrong")).alias("uri"),
+            (score + 0.5).alias("final_score"),
+            F.lit(0.5).alias("pct_second_rank"),
+        ),
+        docs.select(
+            mk(9).alias("mention_key"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit(9).cast("int").alias("begin"),
+            F.lower("source").alias("sf"),
+            F.concat(F.col("source"), F.lit("_keep")).alias("uri"),
+            (score + 0.75).alias("final_score"),
+            F.lit(0.75).alias("pct_second_rank"),
+        ),
+    ]
+    mentions = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return coreference_resolution(mentions).select(
+        "mention_key", "doc_id", "begin", "sf", "uri",
+        F.round("final_score", 6).alias("final_score"),
+        F.round("pct_second_rank", 6).alias("pct_second_rank"),
+    )
+
+
 def q_support_filter(spark, sf_dir):
     linked = q_prior_disambiguation(spark, sf_dir)
     uc = q_uri_counts(spark, sf_dir).select("uri", "support")
@@ -984,6 +1035,43 @@ LEFT JOIN dots d ON d.da = p.da AND d.db = p.db
 LEFT JOIN norms n1 ON n1.doc_id = p.da
 LEFT JOIN norms n2 ON n2.doc_id = p.db
 """,
+    # coref donor rule re-derived flat (AnnotationFilter.scala:89-123):
+    # the min-begin earlier mention whose all-capitalized sf word-
+    # contains the later single word. On this synthesized domain sfs are
+    # fully upper or fully lower, so the per-word capitalization test
+    # reduces to sf = upper(sf); chains cannot occur (a rewritten donor
+    # is single-word, and any mention it would donate to shares its sf,
+    # making the donor's own donor the earlier match).
+    "coref_resolution": """
+WITH d AS (SELECT doc_id, source, CAST(doc_id AS DOUBLE) / 10.0 AS s
+           FROM documents WHERE doc_id < 300),
+m AS (
+  SELECT CAST(doc_id AS VARCHAR) || ':0' AS mention_key,
+         CAST(doc_id AS VARCHAR) AS doc_id, 0 AS begin,
+         upper(source) || ' HQ' AS sf, source AS uri,
+         s AS final_score, 0.25 AS pct_second_rank FROM d
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) || ':7', CAST(doc_id AS VARCHAR), 7,
+         upper(source), source || '_wrong', s + 0.5, 0.5 FROM d
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) || ':9', CAST(doc_id AS VARCHAR), 9,
+         lower(source), source || '_keep', s + 0.75, 0.75 FROM d),
+donor AS (
+  SELECT i.doc_id, i.begin AS ib, j.uri AS juri,
+         j.final_score AS jfs, j.pct_second_rank AS jp,
+         row_number() OVER (PARTITION BY i.doc_id, i.begin
+                            ORDER BY j.begin) AS rn
+  FROM m i JOIN m j ON j.doc_id = i.doc_id AND j.begin < i.begin
+  WHERE strpos(i.sf, ' ') = 0
+    AND j.sf = upper(j.sf)
+    AND (' ' || j.sf || ' ') LIKE ('% ' || i.sf || ' %'))
+SELECT m.mention_key, m.doc_id, m.begin, m.sf,
+       coalesce(dn.juri, m.uri) AS uri,
+       round(coalesce(dn.jfs, m.final_score), 6) AS final_score,
+       round(coalesce(dn.jp, m.pct_second_rank), 6) AS pct_second_rank
+FROM m LEFT JOIN donor dn
+  ON dn.doc_id = m.doc_id AND dn.ib = m.begin AND dn.rn = 1
+""",
     "context_scores": f"""
 WITH {_TOK_CTE},
 vocab AS (SELECT token, count(*) AS c FROM tok WHERE token <> ''
@@ -1297,6 +1385,7 @@ QUERIES = {
     "candidate_topk": q_candidate_topk,
     "mixture_scores": q_mixture_scores,
     "tficf_cosine": q_tficf_cosine,
+    "coref_resolution": q_coref_resolution,
     "context_scores": q_context_scores,
     "support_filter": q_support_filter,
     "redirect_closure": q_redirect_closure,
