@@ -475,6 +475,67 @@ def q_coref_resolution(spark, sf_dir):
     )
 
 
+def q_disambiguate_full(spark, sf_dir):
+    """The COMPLETE two-step disambiguation stack as one gate: FSA spot
+    → candidate generation (P(e|s), P(e)) → generative context scores +
+    NIL → UnweightedMixture → NIL gate → rank / softmax /
+    percentageOfSecondRank — all PRODUCTION operators
+    (operators/scoring.py + operators/disambiguate.py), docs 0-29."""
+    from ..operators.disambiguate import disambiguate
+
+    model, src_ids = _ctx_model(spark, sf_dir)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 30)
+    mentions = _mentions(spark, sf_dir).filter(
+        F.col("doc_id").cast("bigint") < 30
+    ).withColumn(
+        "mention_key",
+        F.concat_ws(":", F.col("doc_id"), F.col("begin")),
+    ).withColumn("end", F.col("begin") + F.length("sf"))
+
+    pc = q_pair_counts(spark, sf_dir)
+    sf_tot = pc.groupBy("sf").agg(F.sum("pair_count").alias("sf_total"))
+    uc = _docs(spark, sf_dir).groupBy(F.col("source").alias("uri")).agg(
+        F.count("*").alias("support")
+    )
+    n_docs = uc.agg(F.sum("support").alias("_n"))
+    cands = (
+        mentions.join(F.broadcast(pc), "sf")
+        .join(F.broadcast(sf_tot), "sf")
+        .join(F.broadcast(uc), "uri")
+        .crossJoin(F.broadcast(n_docs))
+        .join(
+            F.broadcast(src_ids.withColumnRenamed("source", "uri")), "uri"
+        )
+        .select(
+            "mention_key", "doc_id", "begin", "end", "sf", "uri",
+            "res_id", "support",
+            F.array().cast("array<string>").alias("types"),
+            F.col("sf").alias("cand_sf"),
+            (F.col("pair_count") / F.col("sf_total")).alias("cand_prior"),
+            (F.col("support") / F.col("_n")).alias("res_prior"),
+        )
+    )
+    doc_tokens = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array_sort(
+            F.array_distinct(tokenize_expr(F.col("text")))
+        ).alias("query_tokens"),
+    )
+    from ..operators.scoring import context_scores as ctx_op
+
+    ctx, nil = ctx_op(
+        cands.select("doc_id", "res_id"), doc_tokens, model,
+        PipelineParams(),
+    )
+    out = disambiguate(cands, ctx, nil, model, PipelineParams())
+    return out.select(
+        "mention_key", "begin", "sf", "uri", "rank",
+        F.round("final_score", 6).alias("final_score"),
+        F.round("ctx_score", 6).alias("ctx_score"),
+        F.round("pct_second_rank", 6).alias("pct_second_rank"),
+    )
+
+
 def q_support_filter(spark, sf_dir):
     linked = q_prior_disambiguation(spark, sf_dir)
     uc = q_uri_counts(spark, sf_dir).select("uri", "support")
@@ -1035,6 +1096,88 @@ LEFT JOIN dots d ON d.da = p.da AND d.db = p.db
 LEFT JOIN norms n1 ON n1.doc_id = p.da
 LEFT JOIN norms n2 ON n2.doc_id = p.db
 """,
+    # the COMPLETE two-step disambiguation stack re-derived in one SQL
+    # statement: spot + candidate priors + generative context scores
+    # (p_lm / lnsum / NIL per GenerativeContextSimilarity.scala) +
+    # UnweightedMixture + NIL gate + rank / softmax / pctSecondRank
+    # (DBTwoStepDisambiguator.scala:183-201). ln_nil_pe = ln(1/1) = 0
+    # because the gate model pins total_annotated_count = 1.
+    "disambiguate_full": f"""
+WITH {_TOK_CTE}, {_SPOT_CTE}, {_PC_CTE},
+sft AS (SELECT sf, sum(pair_count) AS sf_total FROM pc GROUP BY sf),
+uc AS (SELECT source AS uri, count(*) AS support FROM documents
+       GROUP BY source),
+n AS (SELECT count(*) AS n_docs FROM documents),
+vocab AS (SELECT token, count(*) AS c FROM tok WHERE token <> ''
+          GROUP BY token HAVING count(*) >= {MIN_TOKEN_COUNT}),
+totals AS (SELECT sum(c) AS total_tokens, count(*) AS vocab_size
+           FROM vocab),
+ctx AS (SELECT source, token, count(*) AS c FROM tok
+        WHERE token IN (SELECT token FROM vocab) GROUP BY 1, 2),
+ctot AS (SELECT source, sum(c) AS tot FROM ctx GROUP BY source),
+mm AS (SELECT doc_id, begin, sf, doc_id || ':' || begin AS mention_key
+       FROM m WHERE CAST(doc_id AS BIGINT) < 30),
+cand AS (
+  SELECT mm.mention_key, mm.doc_id, mm.begin, mm.sf, pc.uri,
+         pc.pair_count / CAST(sft.sf_total AS DOUBLE) AS cand_prior,
+         uc.support / CAST(n.n_docs AS DOUBLE) AS res_prior
+  FROM mm JOIN pc USING (sf) JOIN sft USING (sf)
+  JOIN uc ON uc.uri = pc.uri CROSS JOIN n),
+qt AS (SELECT DISTINCT doc_id, token FROM tok
+       WHERE doc_id < 30 AND token <> ''),
+duris AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS did, uri FROM cand),
+terms AS (
+  SELECT q.doc_id, du.uri,
+    ln(coalesce(v.c, 0) + 1.0)
+      - ln((SELECT total_tokens + vocab_size FROM totals)) AS p_lm,
+    cx.c AS cct, ct.tot AS tot
+  FROM qt q JOIN duris du ON du.did = q.doc_id
+  LEFT JOIN vocab v ON v.token = q.token
+  LEFT JOIN ctx cx ON cx.source = du.uri AND cx.token = q.token
+  LEFT JOIN ctot ct ON ct.source = du.uri),
+ctxs AS (SELECT doc_id, uri, sum(
+  CASE WHEN cct IS NOT NULL AND cct > 0 AND tot > 0 THEN
+    greatest(ln(0.8) + p_lm, ln(0.2) + ln(cct / CAST(tot AS DOUBLE)))
+    + ln(1 + exp(least(ln(0.8) + p_lm, ln(0.2) + ln(cct / CAST(tot AS DOUBLE)))
+                 - greatest(ln(0.8) + p_lm,
+                            ln(0.2) + ln(cct / CAST(tot AS DOUBLE)))))
+  ELSE ln(0.8) + p_lm END) AS ctx_score
+  FROM terms GROUP BY doc_id, uri),
+nils AS (SELECT q.doc_id, sum(ln(0.8) + ln(coalesce(v.c, 0) + 1.0)
+           - ln((SELECT total_tokens + vocab_size FROM totals)))
+           AS nil_ctx
+         FROM qt q LEFT JOIN vocab v ON v.token = q.token
+         GROUP BY q.doc_id),
+raws AS (
+  SELECT c.mention_key, c.begin, c.sf, c.uri,
+         ln(c.cand_prior) + cs.ctx_score + ln(c.res_prior) AS raw,
+         cs.ctx_score AS ctxsc, nl.nil_ctx
+  FROM cand c
+  JOIN ctxs cs ON cs.doc_id = CAST(c.doc_id AS BIGINT)
+              AND cs.uri = c.uri
+  JOIN nils nl ON nl.doc_id = CAST(c.doc_id AS BIGINT)),
+kept AS (SELECT * FROM raws WHERE raw > nil_ctx),
+mstats AS (SELECT mention_key, max(raw) AS mx, max(ctxsc) AS mxc,
+                  max(nil_ctx) AS nil_ctx FROM kept GROUP BY mention_key),
+sums AS (SELECT k.mention_key,
+            sum(exp(k.raw - s.mx)) AS ssum,
+            sum(exp(k.ctxsc - s.mxc)) AS csum
+         FROM kept k JOIN mstats s USING (mention_key)
+         GROUP BY k.mention_key),
+lse AS (SELECT s.mention_key,
+           s.mx + ln(u.ssum + exp(s.nil_ctx - s.mx)) AS lse_sim,
+           s.mxc + ln(u.csum + exp(s.nil_ctx - s.mxc)) AS lse_ctx
+        FROM mstats s JOIN sums u USING (mention_key))
+SELECT k.mention_key, k.begin, k.sf, k.uri,
+  CAST(row_number() OVER w AS INT) AS rank,
+  round(exp(k.raw - l.lse_sim), 6) AS final_score,
+  round(exp(k.ctxsc - l.lse_ctx), 6) AS ctx_score,
+  round(coalesce(exp(lead(k.raw) OVER w - k.raw), -1.0), 6)
+    AS pct_second_rank
+FROM kept k JOIN lse l USING (mention_key)
+WINDOW w AS (PARTITION BY k.mention_key
+             ORDER BY k.raw DESC, k.uri ASC, k.sf ASC)
+""",
     # coref donor rule re-derived flat (AnnotationFilter.scala:89-123):
     # the min-begin earlier mention whose all-capitalized sf word-
     # contains the later single word. On this synthesized domain sfs are
@@ -1386,6 +1529,7 @@ QUERIES = {
     "mixture_scores": q_mixture_scores,
     "tficf_cosine": q_tficf_cosine,
     "coref_resolution": q_coref_resolution,
+    "disambiguate_full": q_disambiguate_full,
     "context_scores": q_context_scores,
     "support_filter": q_support_filter,
     "redirect_closure": q_redirect_closure,
