@@ -3,7 +3,7 @@
 `entry(spark)` runs the flagship entity-resolution path (spot →
 prior link → connected-components clustering) on sf0.001.
 `queries()` / `oracle_sql()` expose every implemented operator from
-SURVEY.md §2 plus the training-data-pipeline ops — 39 queries, 38
+SURVEY.md §2 plus the training-data-pipeline ops — 40 queries, 39
 with a DuckDB ANSI-SQL twin (ann_ivf_topk is rows-only: its inverted
 lists are trained from the data, so no static twin exists; recall is
 pinned in tests instead) (the SimHash 64-bit kernel is rebuilt in

@@ -536,6 +536,85 @@ def q_disambiguate_full(spark, sf_dir):
     )
 
 
+def q_fuzzy_candidates(spark, sf_dir):
+    """The §2.4 fuzzy candidate fallback through the PRODUCTION
+    generate_candidates operator: the synthesized dictionary stores
+    each surface form in two cased variants (UPPER and Capitalized)
+    with different count statistics, so every lowercase spotted mention
+    misses the exact lookup and exercises the ranked lowercase-variant
+    path (edit-distance score × annotationProbability × the
+    cTotal/cLower ratio, top-5), then candidate explosion and the
+    top-10-by-prior pruning."""
+    from ..operators.candidates import generate_candidates
+    from .model_build import ModelTables
+
+    pc = q_pair_counts(spark, sf_dir)
+    ann = pc.groupBy("sf").agg(F.sum("pair_count").alias("a"))
+    cap_first = F.concat(
+        F.upper(F.expr("substring(sf, 1, 1)")), F.expr("substring(sf, 2)")
+    )
+    sf_stats = ann.select(
+        F.upper("sf").alias("sf"),
+        F.upper("sf").alias("sf_id"),
+        F.col("a").alias("annotated_count"),
+        (F.col("a") * 2).alias("total_count"),
+        F.col("a").alias("lowercase_count"),
+    ).unionByName(
+        ann.select(
+            cap_first.alias("sf"),
+            cap_first.alias("sf_id"),
+            F.col("a").alias("annotated_count"),
+            (F.col("a") * 3).alias("total_count"),
+            (F.col("a") * 5).alias("lowercase_count"),
+        )
+    )
+    cand_map = pc.select(
+        F.upper("sf").alias("sf_id"),
+        F.col("uri").alias("res_id"),
+        "pair_count",
+    ).unionByName(
+        pc.select(
+            cap_first.alias("sf_id"),
+            F.col("uri").alias("res_id"),
+            "pair_count",
+        )
+    )
+    uc = _docs(spark, sf_dir).groupBy(F.col("source").alias("uri")).agg(
+        F.count("*").alias("support")
+    )
+    n_docs = uc.agg(F.sum("support").alias("_n"))
+    resources = uc.crossJoin(F.broadcast(n_docs)).select(
+        F.col("uri").alias("res_id"),
+        "uri",
+        "support",
+        (F.col("support") / F.col("_n")).alias("prior"),
+        F.array().cast("array<string>").alias("types"),
+    )
+    empty = _docs(spark, sf_dir).limit(0).select(
+        F.col("doc_id").alias("token_id")
+    )
+    model = ModelTables(
+        surface_form_stats=sf_stats,
+        resources=resources,
+        candidate_map=cand_map,
+        tokens=empty,
+        context_counts=empty,
+        total_annotated_count=1,
+        total_token_count=1,
+        vocab_size=1,
+    )
+    mentions = _mentions(spark, sf_dir).filter(
+        F.col("doc_id").cast("bigint") < 40
+    ).withColumn("end", F.col("begin") + F.length("sf"))
+    out = generate_candidates(mentions, model, PipelineParams())
+    return out.select(
+        "mention_key", "sf", "cand_sf", "uri",
+        F.round("cand_prior", 6).alias("cand_prior"),
+        F.round("res_prior", 6).alias("res_prior"),
+        "support",
+    )
+
+
 def q_support_filter(spark, sf_dir):
     linked = q_prior_disambiguation(spark, sf_dir)
     uc = q_uri_counts(spark, sf_dir).select("uri", "support")
@@ -1178,6 +1257,48 @@ FROM kept k JOIN lse l USING (mention_key)
 WINDOW w AS (PARTITION BY k.mention_key
              ORDER BY k.raw DESC, k.uri ASC, k.sf ASC)
 """,
+    # fuzzy fallback re-derived (MemorySurfaceFormStore.scala:138-156):
+    # every lowercase mention misses the cased dictionary, matches both
+    # cased variants on the lowercase key; the edit-distance factor is
+    # the constant 0.85 on this domain (lower(cand_sf) = sf exactly, per
+    # the reference's casing branch), the other two ranking factors vary
+    # by variant; then candidate explosion + top-10-by-prior pruning
+    "fuzzy_candidates": f"""
+WITH {_TOK_CTE}, {_SPOT_CTE}, {_PC_CTE},
+ann AS (SELECT sf, sum(pair_count) AS a FROM pc GROUP BY sf),
+var AS (
+  SELECT sf AS base_sf, upper(sf) AS cand_sf, a AS annotated_count,
+         2 * a AS total_count, a AS lowercase_count FROM ann
+  UNION ALL
+  SELECT sf, upper(substring(sf, 1, 1)) || substring(sf, 2), a,
+         3 * a, 5 * a FROM ann),
+uc AS (SELECT source AS uri, count(*) AS support FROM documents
+       GROUP BY source),
+n AS (SELECT count(*) AS n_docs FROM documents),
+mm AS (SELECT doc_id, begin, sf, doc_id || ':' || begin AS mention_key
+       FROM m WHERE CAST(doc_id AS BIGINT) < 40),
+fz AS (
+  SELECT mm.mention_key, mm.sf, v.base_sf, v.cand_sf, v.annotated_count,
+    0.85 * (v.annotated_count / CAST(v.total_count AS DOUBLE))
+         * (2.0 * v.total_count
+            / CAST(v.lowercase_count + v.total_count AS DOUBLE)) AS fscore
+  FROM mm JOIN var v ON lower(mm.sf) = lower(v.cand_sf)),
+top5 AS (SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY mention_key
+      ORDER BY fscore DESC, cand_sf ASC) AS rn FROM fz) WHERE rn <= 5),
+exploded AS (
+  SELECT t.mention_key, t.sf, t.cand_sf, pc.uri,
+    pc.pair_count / CAST(t.annotated_count AS DOUBLE) AS cand_prior,
+    uc.support / CAST(n.n_docs AS DOUBLE) AS res_prior, uc.support
+  FROM top5 t JOIN pc ON pc.sf = t.base_sf
+  JOIN uc ON uc.uri = pc.uri CROSS JOIN n)
+SELECT mention_key, sf, cand_sf, uri,
+  round(cand_prior, 6) AS cand_prior,
+  round(res_prior, 6) AS res_prior, support
+FROM (SELECT *, row_number() OVER (PARTITION BY mention_key
+        ORDER BY cand_prior DESC, uri ASC, cand_sf ASC) AS rn10
+      FROM exploded) WHERE rn10 <= 10
+""",
     # coref donor rule re-derived flat (AnnotationFilter.scala:89-123):
     # the min-begin earlier mention whose all-capitalized sf word-
     # contains the later single word. On this synthesized domain sfs are
@@ -1530,6 +1651,7 @@ QUERIES = {
     "tficf_cosine": q_tficf_cosine,
     "coref_resolution": q_coref_resolution,
     "disambiguate_full": q_disambiguate_full,
+    "fuzzy_candidates": q_fuzzy_candidates,
     "context_scores": q_context_scores,
     "support_filter": q_support_filter,
     "redirect_closure": q_redirect_closure,
