@@ -3,12 +3,12 @@
 `entry(spark)` runs the flagship entity-resolution path (spot →
 prior link → connected-components clustering) on sf0.001.
 `queries()` / `oracle_sql()` expose every implemented operator from
-SURVEY.md §2 plus the training-data-pipeline ops — 40 queries, 39
-with a DuckDB ANSI-SQL twin (ann_ivf_topk is rows-only: its inverted
-lists are trained from the data, so no static twin exists; recall is
-pinned in tests instead) (the SimHash 64-bit kernel is rebuilt in
-SQL via md5-prefix hashing + per-bit majority; the sign-LSH bucket is
-an expression over literal hyperplanes inlined into both engines).
+SURVEY.md §2 plus the training-data-pipeline ops — every query has a
+DuckDB ANSI-SQL twin (the SimHash 64-bit kernel is rebuilt in SQL via
+md5-prefix hashing + per-bit majority; the sign-LSH bucket is an
+expression over literal hyperplanes inlined into both engines; IVF
+centroids are selected by an engine-neutral md5(id:seed) order so even
+the "trained" inverted-list path has a static twin).
 """
 
 from __future__ import annotations

@@ -136,6 +136,7 @@ def embedding_neardup_approx(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_method: str = "udf",
+    dim: int | None = None,
 ) -> DataFrame:
     """Banded sign-LSH near-dup: same output contract as the exact path
     but sub-quadratic — a pair is a candidate iff it agrees on ALL bits of
@@ -151,9 +152,14 @@ def embedding_neardup_approx(
     "expr" (pure column expressions over the same literal planes —
     bit-identical band codes, ANSI-SQL-expressible so the path can be
     hash-gated by the driver's DuckDB oracle, same discipline as
-    lsh_topk)."""
+    lsh_topk).
+
+    dim: embedding dimensionality. Pass it when known (it's fixed by the
+    upstream embedding model) — the fallback sniffs one row, an extra
+    tiny job per call."""
     spark = corpus.sparkSession
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = make_hyperplanes(dim, n_bands * band_bits, seed)
     base = corpus.select(
         F.col(id_col).alias("_id"),
@@ -229,7 +235,10 @@ def embedding_neardup(
         )
     if method != "auto":
         raise ValueError(f"unknown method: {method!r}")
-    if corpus.count() <= exact_max_rows:
+    # limit(k+1).count() — the gate only needs "is n above the cutoff",
+    # so the probe stops scanning once k+1 rows are seen instead of
+    # counting the full corpus (at 10^12 rows a full count is a real job)
+    if corpus.limit(exact_max_rows + 1).count() <= exact_max_rows:
         return embedding_neardup_exact(corpus, threshold, id_col, vec_col)
     return embedding_neardup_approx(
         corpus, threshold, id_col=id_col, vec_col=vec_col, **approx_kw
@@ -269,6 +278,15 @@ def lsh_bucket_udf(planes_bc):
     return bucket
 
 
+# Hard ceiling on the inverted-list count: the centroid matrix lives on
+# the driver and is broadcast to executors, so its footprint must stay
+# bounded no matter how big the corpus is (65k lists x 4096-dim doubles
+# = 2 GiB worst case; at the typical d<=1024 it is <=512 MiB). sqrt(n)
+# only exceeds this above ~4.3e9 rows, where 65k lists still give
+# ~n/65k-sized probe slices.
+IVF_MAX_LISTS = 65_536
+
+
 def ivf_topk(
     corpus: DataFrame,
     k: int = 10,
@@ -284,9 +302,17 @@ def ivf_topk(
 
     The scale path alongside sign-LSH: at 10^12 rows each list is a
     partition-pruned slice; centroid assignment is one Arrow-batched
-    matrix product per batch. n_lists defaults to ~sqrt(n) so in-list
-    work stays O(n^1.5) total instead of O(n²/const) with a fixed list
-    count.
+    matrix product per batch. n_lists defaults to ~sqrt(n), capped at
+    IVF_MAX_LISTS, so in-list work stays O(n^1.5) total instead of
+    O(n²/const) with a fixed list count.
+
+    Centroid selection is ENGINE-NEUTRAL and deterministic: the first
+    n_lists vectors in md5(id || ':' || seed) hex order. md5 exists in
+    every SQL engine (unlike xxhash64), so the whole algorithm — centroid
+    CTE, nearest-list assignment, probe join, rerank — has a static
+    ANSI-SQL twin and the driver's DuckDB oracle can hash-verify this
+    path like any other gate. Centroid rows stream to the driver via
+    toLocalIterator (bounded batches), never one big collect buffer.
     """
     spark = corpus.sparkSession
     base = corpus.select(
@@ -296,15 +322,24 @@ def ivf_topk(
     if n_lists is None:
         import math
 
-        n_lists = max(1, int(math.isqrt(base.count())))
-    # deterministic centroid sample: first n_lists ids in xxhash order
-    cents = (
-        base.withColumn("_h", F.xxhash64(F.col("_id") + F.lit(seed)))
+        n_lists = max(1, min(int(math.isqrt(base.count())), IVF_MAX_LISTS))
+    # deterministic engine-neutral centroid sample: first n_lists rows in
+    # md5(id:seed) hex order (lowercase hex compares identically as a
+    # string in Spark and DuckDB). Streamed, not collect()ed: the driver
+    # holds exactly the (n_lists, dim) float64 matrix, nothing more.
+    ordered = (
+        base.withColumn(
+            "_h",
+            F.md5(F.concat(F.col("_id").cast("string"), F.lit(f":{seed}"))),
+        )
         .orderBy("_h")
         .limit(n_lists)
-        .collect()
+        .select("v")
     )
-    cmat = np.array([r["v"] for r in cents])  # (n_lists, dim)
+    cmat = np.stack(
+        [np.asarray(r["v"], dtype=np.float64)
+         for r in ordered.toLocalIterator()]
+    )  # (n_lists, dim)
     cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
     cents_bc = spark.sparkContext.broadcast(cmat)
 
@@ -319,7 +354,9 @@ def ivf_topk(
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
                                1e-12)
             sims = (mat / norms) @ c.T  # (batch, n_lists)
-            top = np.argsort(-sims, axis=1)[:, :n]
+            # stable sort: cosine ties break toward the LOWER list id,
+            # matching the SQL twin's ORDER BY sim DESC, list_id ASC
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n]
             return pd.Series([row.astype("int32").tolist() for row in top])
 
         return assign
@@ -371,15 +408,20 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_method: str = "udf",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate self top-k: bucket by hyperplane signs, exact cosine
     rerank within buckets. Recall < 1 by design (single probe).
 
     bucket_method: "udf" (Arrow-batched matrix product — the fast path at
     high dim) or "expr" (pure column expression — identical buckets,
-    SQL-expressible for the correctness oracle)."""
+    SQL-expressible for the correctness oracle).
+
+    dim: embedding dimensionality. Pass it when known (it's fixed by the
+    upstream embedding model) — the fallback sniffs one row."""
     spark = corpus.sparkSession
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = make_hyperplanes(dim, n_bits, seed)
     base = corpus.select(
         F.col(id_col).alias("_id"),

@@ -136,9 +136,27 @@ def connected_components(
         # (the raw count can only OVERestimate, which errs toward the
         # distributed loop — the safe direction)
         cur = cur.localCheckpoint()
-        if not force_distributed and cur.count() <= DRIVER_CC_MAX_EDGES:
-            return _driver_union_find(cur)
-        cur = cur.distinct()
+        if not force_distributed:
+            if cur.count() <= DRIVER_CC_MAX_EDGES:
+                return _driver_union_find(cur)
+            # duplicate-heavy inputs: the raw count overshoots; a cheap
+            # sketch decides whether the DISTINCT edge set still fits on
+            # the driver (HLL error ~5% — the 0.9 margin absorbs it).
+            # Only then pay the distinct shuffle for the small pull.
+            est = cur.agg(
+                F.approx_count_distinct(
+                    F.concat_ws("\x00", "src", "dst")
+                ).alias("d")
+            ).collect()[0]["d"]
+            if est <= DRIVER_CC_MAX_EDGES * 0.9:
+                dedup = cur.distinct().localCheckpoint()
+                if dedup.count() <= DRIVER_CC_MAX_EDGES:
+                    return _driver_union_find(dedup)
+                cur = dedup
+            else:
+                cur = cur.distinct()
+        else:
+            cur = cur.distinct()
     else:
         cur = cur.distinct()
 

@@ -705,7 +705,7 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return embedding_neardup_approx(
         _emb(spark, sf_dir), threshold=0.3,
         n_bands=_ND_BANDS, band_bits=_ND_BITS, seed=_LSH_SEED,
-        bucket_method="udf",
+        bucket_method="udf", dim=_EMB_DIM,
         # the PRODUCTION Arrow-UDF bucket kernel; bit-identical to the
         # expr twin (tested), so the DuckDB oracle (literal planes)
         # hash-verifies the real path, not a SQL-shaped stand-in
@@ -726,16 +726,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     # production Arrow-UDF bucket (bit-identical to the expr twin the
     # oracle inlines — hyperplane_bucket_expr docstring + parity test)
-    return lsh_topk(emb, k=3, n_bits=6, bucket_method="udf").select(
+    return lsh_topk(
+        emb, k=3, n_bits=6, bucket_method="udf", dim=_EMB_DIM
+    ).select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k (rows-only driver check: the inverted-list
-    centroids are TRAINED from the data inside Spark, so no static SQL
-    twin exists — recall vs the exact brute force is pinned in
-    tests/test_training_ops.py instead)."""
+    """IVF approximate top-k — now FULLY hash-gated: centroid selection
+    is the engine-neutral md5(id:seed) order (operators/ann.py ivf_topk),
+    so the DuckDB twin re-derives the complete algorithm statically —
+    centroid CTE, nearest-list assignment (argmax cosine, ties to the
+    lower list id), n_probe=2 probe join, exact rerank. Recall vs brute
+    force additionally pinned in tests/test_training_ops.py."""
     from ..operators.ann import ivf_topk
 
     return ivf_topk(_emb(spark, sf_dir), k=3, n_probe=2).select(
@@ -1508,6 +1512,45 @@ s AS (SELECT query_id, neighbor_id,
       FROM q, c WHERE neighbor_id <> query_id)
 SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
        CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= 3
+""",
+    # full static twin of operators/ann.py ivf_topk: same engine-neutral
+    # md5(id:seed) centroid order (n_lists = floor(sqrt(n))), same
+    # argmax-cosine assignment (ties to the lower list id — the Spark
+    # kernel uses a stable argsort), one inverted list per corpus vector,
+    # n_probe=2 probe lists per query, exact cosine rerank, k=3
+    "ann_ivf_topk": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+n AS (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS n_lists
+      FROM v),
+hh AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR) || ':42') AS h
+       FROM v),
+cent AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT)
+           AS list_id, v AS cv
+         FROM hh
+         QUALIFY row_number() OVER (ORDER BY h)
+           <= (SELECT n_lists FROM n)),
+asg AS (SELECT x.vec_id, x.v, c.list_id,
+          row_number() OVER (PARTITION BY x.vec_id ORDER BY
+            list_dot_product(x.v, c.cv)
+              / (sqrt(list_dot_product(x.v, x.v))
+                 * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+            c.list_id ASC) AS pr
+        FROM v x CROSS JOIN cent c),
+listed AS (SELECT vec_id AS neighbor_id, v AS cv, list_id
+           FROM asg WHERE pr = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, list_id
+           FROM asg WHERE pr <= 2),
+s AS (SELECT query_id, neighbor_id,
+        list_dot_product(qv, cv)
+          / (sqrt(list_dot_product(qv, qv))
+             * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM probes JOIN listed USING (list_id)
+      WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
 WHERE rn <= 3

@@ -51,18 +51,15 @@ def test_decode_media_real_netpbm(spark):
     assert feats[5] == pytest.approx(8 / 4, abs=1e-5)  # aspect
 
 
-def test_decode_media_non_netpbm_raises_without_fake(spark):
-    # MP3 (ID3 container) is still a stubbed format; JPEG/PNG/GIF now
-    # decode for real
+def test_decode_media_unknown_payload_raises(spark):
+    # every supported modality decodes for real now; an unknown magic
+    # gets the clear ValueError contract (no stub / fake path remains)
     media = spark.createDataFrame(
-        [("File:x.mp3", bytearray(b"ID3\x04\x00\x00\x00\x00\x00\x00"))],
+        [("File:x.bin", bytearray(b"\x00\x01unknown-payload"))],
         "media_ref string, payload binary",
     )
-    with pytest.raises(Exception, match="NotImplementedError|netpbm"):
+    with pytest.raises(Exception, match="unsupported media payload"):
         decode_media(media).collect()
-    # fake path still works for codec formats
-    rows = decode_media(media, fake=True).collect()
-    assert rows and rows[0]["width"] >= 16
 
 
 def test_resize_media_pixels(spark):

@@ -123,9 +123,24 @@ def test_crc_mismatch_raises():
         parse_png(bytes(bad))
 
 
-def test_interlaced_rejected():
+def test_adam7_interlaced_roundtrip():
+    # seven-pass deinterlace across shapes that exercise empty passes
+    # (dims < pass offsets), ragged pass widths, and all five filters
+    rng = np.random.default_rng(21)
+    for h, w, c in [(1, 1, 1), (3, 5, 3), (7, 7, 1), (8, 8, 3),
+                    (9, 13, 3), (16, 5, 1), (33, 17, 3)]:
+        px = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        for ft in range(5):
+            enc = encode_png(px, filter_type=ft, interlace=True)
+            assert np.array_equal(parse_png(enc), px), (h, w, c, ft)
+
+
+def test_adam7_truncated_raises():
+    px = np.zeros((9, 9, 1), dtype=np.uint8)
+    enc = bytearray(encode_png(px, interlace=True))
+    # corrupt: an IHDR claiming a larger image than the pass data holds
     body = (
-        (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+        (64).to_bytes(4, "big") + (64).to_bytes(4, "big")
         + bytes([8, 0, 0, 0, 1])
     )
     data = (
@@ -133,7 +148,7 @@ def test_interlaced_rejected():
         + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="length mismatch"):
         parse_png(data)
 
 

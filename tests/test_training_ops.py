@@ -17,7 +17,6 @@ from dbpedia_spotlight_spark.operators.dedup import (
 from dbpedia_spotlight_spark.operators.multimodal import (
     decode_media,
     media_payloads_from_documents,
-    resize_plan,
     sample_frames,
 )
 from dbpedia_spotlight_spark.operators.textstats import text_stats
@@ -242,34 +241,35 @@ def test_text_stats(docs):
 
 
 def test_multimodal_plumbing(spark, fixture_dir):
+    # media_payloads_from_documents synthesizes REAL tiny WAVs (column
+    # expression: constant header ++ md5 digest samples) — the decode
+    # below is the production parse_wav path, no stub anywhere
     docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
     media = media_payloads_from_documents(docs)
     n_media = media.count()
     assert n_media > 0
-    decoded = decode_media(media, fake=True)
+    decoded = decode_media(media)
     rows = decoded.collect()
     assert len(rows) == n_media
     for r in rows[:5]:
-        assert r["width"] >= 16 and r["height"] >= 16
+        assert r["width"] == 8000  # sample rate
+        assert r["height"] == 1    # mono
+        assert r["n_frames"] == 8  # digest bytes -> 8 i16 samples
         assert len(r["features"]) == 8
     # determinism
-    again = decode_media(media, fake=True).collect()
+    again = decode_media(media).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
-    resized = resize_plan(decoded, max_side=32).collect()
-    for r in resized:
-        assert max(r["out_width"], r["out_height"]) <= 32
-    frames = sample_frames(decoded, every_k=2)
+    # distinct refs must produce distinct sample content (digest-driven)
+    assert len({str(r["features"]) for r in rows}) > 1 or n_media == 1
+    frames = sample_frames(decoded, every_k=4)
     assert frames.count() >= n_media
 
 
-def test_multimodal_decode_stub_raises_without_fake(spark):
+def test_multimodal_decode_unknown_payload_raises(spark):
     media = spark.createDataFrame(
         [("File:x.jpg", "image/jpeg", bytearray(b"xx"), None, None)],
         "media_ref string, media_type string, payload binary,"
         " meta_width int, meta_height int",
     )
-    with pytest.raises(Exception) as exc:
-        decode_media(media, fake=False).collect()
-    assert "NotImplementedError" in str(exc.value) or isinstance(
-        exc.value, NotImplementedError
-    )
+    with pytest.raises(Exception, match="unsupported media payload"):
+        decode_media(media).collect()
