@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineParams
 from ..fixtures.porter2_vectors import VECTORS as _P2_VECTORS
+from ..functions import markup as _MK
 from ..functions.normalize import sf_normalize_expr, sf_normalize_sql
 from ..functions.similarity import (
     edit_distance_score_expr,
@@ -939,6 +940,203 @@ def q_er_clusters(spark, sf_dir):
     )
 
 
+def _overlap_fixture(spark, sf_dir):
+    """Deterministic overlapping-spot rows (doc_id < 400), crafted so the
+    greedy walk in drop_overlapping_spots takes EVERY branch of
+    DBSpotter.scala:170-221 across the corpus: longer-and-strong replaces
+    (r2 when its doc-varying prob clears lastProb/2), longer-but-weak is
+    dropped (same row, weak docs), equal-prob ties broken by spotter-type
+    order in both directions (r3/r4 swap types by doc parity),
+    shorter-but->2x-more-probable replaces (r6 on doc%3==0),
+    shorter-not->2x dropped incl. the exact ==2x boundary (r9), and a
+    replacement chain where the new winner overlaps the NEXT spot
+    (r7->r8->r9). (begin, len) is unique per doc so the pandas quicksort
+    and the oracle's row_number agree on order."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    key = lambda b: F.concat_ws(  # noqa: E731
+        ":", d.cast("string"), F.lit(str(b))
+    )
+
+    def row(b, sf, prob, typ):
+        return docs.select(
+            key(b).alias("mention_key"),
+            d.cast("string").alias("doc_id"),
+            F.lit(b).cast("int").alias("begin"),
+            (sf if isinstance(sf, F.Column) else F.lit(sf)).alias("sf"),
+            (prob if isinstance(prob, F.Column) else F.lit(prob))
+            .cast("double").alias("spot_prob"),
+            (typ if isinstance(typ, F.Column) else F.lit(typ))
+            .alias("spot_type"),
+        )
+
+    even = (d % 2) == 0
+    rows = [
+        row(0, "alpha", 0.25, "ac"),
+        row(3, "alphabetic", (d % 5).cast("double") / 8.0, "fsa"),
+        row(20, "beta", 0.5, F.when(even, "ac").otherwise("fsa")),
+        row(22, "gam", 0.5, F.when(even, "fsa").otherwise("ac")),
+        row(40, "zetas9", 0.125, "ac"),
+        row(41, "eta",
+            F.when((d % 3) == 0, 0.5).otherwise(0.0625), "fsa"),
+    ]
+    chain_docs = docs.filter((d % 4) != 3)
+    for b, sf, p, t in [(60, "omega7", 0.25, "ac"),
+                        (62, "omegachain99", 0.1875, "fsa"),
+                        (70, "psi9", 0.375, "fsa")]:
+        rows.append(
+            row(b, sf, p, t).join(
+                chain_docs.select(d.cast("string").alias("doc_id")),
+                "doc_id", "left_semi",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def q_overlap_resolution(spark, sf_dir):
+    """Overlap conflict resolution: the PRODUCTION sequential-per-doc
+    applyInPandas walk (operators/spot_scoring.py drop_overlapping_spots,
+    DBSpotter.scala:170-221) over branch-exercising synthetic spots; the
+    oracle replays the same greedy state machine as a recursive CTE."""
+    from ..operators.spot_scoring import drop_overlapping_spots
+
+    return drop_overlapping_spots(_overlap_fixture(spark, sf_dir))
+
+
+def q_narrow_context(spark, sf_dir):
+    """Context narrowing (ContextExtractor.scala:48-77): global token
+    char-offsets over the spans schema + the ±window/2 array slice around
+    each mention. Two mentions per doc: document start and the char
+    midpoint (token index derived by offset count-below, same as the
+    production operator)."""
+    from ..operators.spot_scoring import (
+        doc_tokens_with_offsets,
+        narrow_context,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = doc_tokens_with_offsets(_spanize(docs))
+    d = F.col("doc_id")
+    mentions = docs.select(
+        F.concat_ws(":", d.cast("string"), F.lit("0")).alias("mention_key"),
+        d.cast("string").alias("doc_id"),
+        F.lit(0).cast("int").alias("begin"),
+    ).unionByName(docs.select(
+        F.concat_ws(":", d.cast("string"), F.lit("mid")).alias("mention_key"),
+        d.cast("string").alias("doc_id"),
+        (F.col("n_chars") / 2).cast("int").alias("begin"),
+    ))
+    ctx = narrow_context(toks, mentions, max_context_words=6)
+    return ctx.select(
+        "mention_key",
+        F.size("context_tokens").cast("int").alias("n_ctx"),
+        F.concat_ws(" ", "context_tokens").alias("ctx_text"),
+    )
+
+
+def q_spot_selectors(spark, sf_dir):
+    """Selector chain (ChainedSelector.scala:27): common-word blacklist
+    (anti join), min-length, whitelist (semi join) applied in order to
+    the AC spot output — the reference's NonCommonWordSelector /
+    ShortSurfaceFormSelector / SurfaceFormWhitelistSelector stack."""
+    from ..operators.selectors import (
+        chained_selector,
+        common_word_blacklist,
+        short_sf_selector,
+        whitelist_selector,
+    )
+
+    spots = q_spot_exact_dict(spark, sf_dir)
+    common = spark.createDataFrame(
+        [("scan",), ("join",)], "word string"
+    )
+    white = spark.createDataFrame(
+        [(w,) for w in DICTIONARY if w != "stream"], "sf string"
+    )
+    return chained_selector(
+        spots,
+        lambda m: common_word_blacklist(m, common),
+        lambda m: short_sf_selector(m, min_length=5),
+        lambda m: whitelist_selector(m, white),
+    )
+
+
+def q_spot_score_filter(spark, sf_dir):
+    """DBSpotter feature scoring (DBSpotter.scala:114-157,225-237) over
+    synthesized sf stats that exercise the abbreviation / number /
+    zero-total branches; both the weighted path and the no-weights
+    0.25-floor path, tagged by mode."""
+    from ..operators.spot_scoring import (
+        DEFAULT_SPOT_WEIGHTS,
+        spot_score_filter,
+    )
+
+    tc = q_token_counts(spark, sf_dir)  # (token, cnt)
+    base = tc.select(
+        F.col("token").alias("sf"),
+        (F.col("cnt") % 7).cast("bigint").alias("annotated_count"),
+        F.when(F.col("cnt") % 3 == 0, F.lit(0))
+        .otherwise(F.col("cnt")).cast("bigint").alias("total_count"),
+    )
+    abbrevs = tc.select(
+        F.upper(F.col("token")).alias("sf"),
+        (F.col("cnt") % 5).cast("bigint").alias("annotated_count"),
+        F.col("cnt").cast("bigint").alias("total_count"),
+    )
+    numbers = tc.select(
+        (F.col("cnt").cast("string")).alias("sf"),
+        F.col("cnt").cast("bigint").alias("annotated_count"),
+        (F.col("cnt") * 2).cast("bigint").alias("total_count"),
+    )
+    stats = base.unionByName(abbrevs).unionByName(numbers).distinct()
+    weighted = spot_score_filter(
+        stats, confidence=0.3, weights=DEFAULT_SPOT_WEIGHTS
+    ).select(
+        F.lit("weighted").alias("mode"), "sf",
+        "annotated_count", "total_count",
+        F.round("spot_score", 6).alias("spot_score"),
+    )
+    floor = spot_score_filter(stats, confidence=0.0, weights=None).select(
+        F.lit("floor").alias("mode"), "sf",
+        "annotated_count", "total_count",
+        F.round("spot_score", 6).alias("spot_score"),
+    )
+    return weighted.unionByName(floor)
+
+
+def q_markup_strip(spark, sf_dir):
+    """Wiki-markup strip + link-text + URI cleanup (functions/markup.py;
+    core WikiMarkupStripper / WikiLinkParser): markup-laden text is built
+    deterministically around each doc's own text/source, then stripped
+    with the production column expressions. The oracle replays the same
+    regex pipeline in RE2 dialect (backrefs \\\\1, explicit 'g')."""
+    from ..functions.markup import (
+        clean_uri_expr,
+        strip_wiki_markup_expr,
+        wiki_link_text_expr,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    marked = F.concat(
+        F.lit("{{Infobox x|k=v}} '''Intro''' ==Head== <ref>c</ref> "),
+        F.col("text"),
+        F.lit(" [[Page|label]] [[Plain]] <b>tail</b>\n* item\n"),
+    )
+    uri = F.concat(
+        F.lit("http://dbpedia.org/resource/"),
+        F.col("source"),
+        F.lit("#frag"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        strip_wiki_markup_expr(wiki_link_text_expr(marked)).alias("clean"),
+        clean_uri_expr(uri).alias("uri_clean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL twins
 # ---------------------------------------------------------------------------
@@ -1074,6 +1272,207 @@ _MINHASH_BANDS = " UNION ALL ".join(
     " FROM sig"
     for b in range(4)
 )
+
+# --- overlap_resolution twin: the greedy DBSpotter walk replayed as a
+# recursive CTE (one removal decision per step, kept = never-removed) ---
+_OVERLAP_FIXTURE_SQL = """
+docs4 AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+fixture AS (
+  SELECT CAST(doc_id AS VARCHAR) || ':0' AS mention_key,
+         CAST(doc_id AS VARCHAR) AS doc_id, 0 AS begin, 'alpha' AS sf,
+         0.25 AS spot_prob, 'ac' AS spot_type FROM docs4
+  UNION ALL SELECT CAST(doc_id AS VARCHAR) || ':3', CAST(doc_id AS VARCHAR),
+         3, 'alphabetic', CAST(doc_id % 5 AS DOUBLE) / 8.0, 'fsa' FROM docs4
+  UNION ALL SELECT CAST(doc_id AS VARCHAR) || ':20', CAST(doc_id AS VARCHAR),
+         20, 'beta', 0.5,
+         CASE WHEN doc_id % 2 = 0 THEN 'ac' ELSE 'fsa' END FROM docs4
+  UNION ALL SELECT CAST(doc_id AS VARCHAR) || ':22', CAST(doc_id AS VARCHAR),
+         22, 'gam', 0.5,
+         CASE WHEN doc_id % 2 = 0 THEN 'fsa' ELSE 'ac' END FROM docs4
+  UNION ALL SELECT CAST(doc_id AS VARCHAR) || ':40', CAST(doc_id AS VARCHAR),
+         40, 'zetas9', 0.125, 'ac' FROM docs4
+  UNION ALL SELECT CAST(doc_id AS VARCHAR) || ':41', CAST(doc_id AS VARCHAR),
+         41, 'eta', CASE WHEN doc_id % 3 = 0 THEN 0.5 ELSE 0.0625 END,
+         'fsa' FROM docs4
+  UNION ALL SELECT CAST(doc_id AS VARCHAR) || ':60', CAST(doc_id AS VARCHAR),
+         60, 'omega7', 0.25, 'ac' FROM docs4 WHERE doc_id % 4 <> 3
+  UNION ALL SELECT CAST(doc_id AS VARCHAR) || ':62', CAST(doc_id AS VARCHAR),
+         62, 'omegachain99', 0.1875, 'fsa' FROM docs4 WHERE doc_id % 4 <> 3
+  UNION ALL SELECT CAST(doc_id AS VARCHAR) || ':70', CAST(doc_id AS VARCHAR),
+         70, 'psi9', 0.375, 'fsa' FROM docs4 WHERE doc_id % 4 <> 3
+)"""
+
+_OVERLAP_SQL = f"""
+WITH RECURSIVE {_OVERLAP_FIXTURE_SQL},
+ordered AS (
+  SELECT mention_key, doc_id, begin, sf, spot_prob, spot_type,
+         length(sf) AS len,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY begin, length(sf)) AS rn
+  FROM fixture
+),
+walk AS (
+  SELECT doc_id, rn, begin AS last_begin, begin + len AS last_end,
+         spot_prob AS last_prob, spot_type AS last_type, rn AS last_rn,
+         CAST(NULL AS BIGINT) AS removed_rn
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s.rn,
+    CASE WHEN c.removed IS NULL OR c.removed <> s.rn
+         THEN s.begin ELSE w.last_begin END,
+    CASE WHEN c.removed IS NULL OR c.removed <> s.rn
+         THEN s.begin + s.len ELSE w.last_end END,
+    CASE WHEN c.removed IS NULL OR c.removed <> s.rn
+         THEN s.spot_prob ELSE w.last_prob END,
+    CASE WHEN c.removed IS NULL OR c.removed <> s.rn
+         THEN s.spot_type ELSE w.last_type END,
+    CASE WHEN c.removed IS NULL OR c.removed <> s.rn
+         THEN s.rn ELSE w.last_rn END,
+    c.removed
+  FROM walk w
+  JOIN ordered s ON s.doc_id = w.doc_id AND s.rn = w.rn + 1
+  CROSS JOIN LATERAL (
+    SELECT CASE
+      WHEN NOT (s.begin < w.last_end AND s.begin + s.len > w.last_begin)
+        THEN CAST(NULL AS BIGINT)
+      WHEN s.len > (w.last_end - w.last_begin)
+           AND s.spot_prob > w.last_prob / 2.0 THEN w.last_rn
+      WHEN NOT (s.len > (w.last_end - w.last_begin))
+           AND NOT (s.spot_prob > w.last_prob * 2.0) THEN s.rn
+      WHEN s.spot_prob = w.last_prob
+           AND (CASE WHEN s.spot_type = 'ac' THEN 0 ELSE 99 END
+                < CASE WHEN w.last_type = 'ac' THEN 0 ELSE 99 END)
+        THEN w.last_rn
+      WHEN s.spot_prob = w.last_prob THEN s.rn
+      WHEN s.spot_prob > w.last_prob THEN w.last_rn
+      ELSE s.rn END AS removed
+  ) c
+)
+SELECT o.mention_key, o.doc_id, CAST(o.begin AS INT) AS begin, o.sf,
+       CAST(o.spot_prob AS DOUBLE) AS spot_prob, o.spot_type
+FROM ordered o
+WHERE NOT EXISTS (SELECT 1 FROM walk w
+                  WHERE w.doc_id = o.doc_id AND w.removed_rn = o.rn)
+"""
+
+# --- markup_strip twin: the markup.py regex cascade in RE2 dialect ---
+def _re2_chain(expr: str, steps: list[tuple[str, str]]) -> str:
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+    for pat, repl in steps:
+        expr = f"regexp_replace({expr}, {lit(pat)}, {lit(repl)}, 'g')"
+    return expr
+
+
+_MARKED_SQL = (
+    "'{{Infobox x|k=v}} ''''''Intro'''''' ==Head== <ref>c</ref> '"
+    " || text || ' [[Page|label]] [[Plain]] <b>tail</b>\n* item\n'"
+)
+_STRIP_STEPS = (
+    [(r"\[\[(?:[^\]\|]*\|)?([^\]\|]*)\]\]", r"\1")]
+    + [(rf"(?is)==+\s*{h}\s*==+.*$", "") for h in _MK._SECTION_HEADS]
+    + [
+        (r"(?is)<ref[^>]*/>", ""),
+        (r"(?is)<ref[^>]*>.*?</ref>", ""),
+        (r"\{\{[^{}]*\}\}", ""),
+        (r"\{\{[^{}]*\}\}", ""),
+        (r"==+([^=]*)==+", r"\1"),
+        (r"'{2,5}", ""),
+        (r"(?m)^[\*#:;]+\s*", ""),
+        (r"(?s)<[^>]+>", ""),
+        ("\\n{3,}", "\n\n"),
+    ]
+)
+_URI_STEPS = [
+    (r"^https?://[a-z.]*dbpedia\.org/resource/", ""),
+    (r"#.*$", ""),
+    (r"^/", ""),
+    (r"\s", "_"),
+]
+_MARKUP_SQL = (
+    "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+    f"trim({_re2_chain(_MARKED_SQL, _STRIP_STEPS)}) AS clean, "
+    + _re2_chain(
+        "'http://dbpedia.org/resource/' || source || '#frag'", _URI_STEPS
+    )
+    + " AS uri_clean FROM documents WHERE doc_id < 1000"
+)
+
+# --- narrow_context twin: token char-offsets + count-below index +
+# 6-token window, replicated over the same split-by-space grammar ---
+_NARROW_SQL = """
+WITH tw AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+                   generate_subscripts(string_split(text,' '),1) AS ord
+            FROM documents),
+offs AS (SELECT doc_id, tok, ord,
+           CAST(coalesce(sum(length(tok)+1) OVER (PARTITION BY doc_id
+             ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS INT) AS begin
+         FROM tw),
+kept AS (SELECT doc_id, tok, begin,
+                row_number() OVER (PARTITION BY doc_id ORDER BY begin) - 1
+                  AS pos0
+         FROM offs WHERE tok <> ''),
+mentions AS (
+  SELECT CAST(doc_id AS VARCHAR) || ':0' AS mention_key, doc_id,
+         0 AS m_begin FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) || ':mid', doc_id,
+         CAST(n_chars // 2 AS INT) FROM documents
+),
+idx AS (
+  SELECT m.mention_key, m.doc_id, m.m_begin,
+         greatest(count(*) FILTER (k.begin < m.m_begin) - 3, 0) AS lo
+  FROM mentions m JOIN kept k ON k.doc_id = m.doc_id
+  GROUP BY m.mention_key, m.doc_id, m.m_begin
+)
+SELECT i.mention_key,
+       CAST(count(*) AS INT) AS n_ctx,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.begin), '') AS ctx_text
+FROM idx i JOIN kept k ON k.doc_id = i.doc_id
+WHERE k.pos0 >= i.lo AND k.pos0 < i.lo + 6
+GROUP BY i.mention_key
+"""
+
+_WHITELIST_SQL = "(" + ", ".join(
+    f"'{w}'" for w in DICTIONARY if w != "stream"
+) + ")"
+
+_SPOT_SCORE_SQL = f"""
+WITH {_TOK_CTE},
+tc AS (SELECT token, count(*) AS cnt FROM tok WHERE token <> ''
+       GROUP BY token),
+stats AS (
+  SELECT token AS sf, CAST(cnt % 7 AS BIGINT) AS annotated_count,
+         CAST(CASE WHEN cnt % 3 = 0 THEN 0 ELSE cnt END AS BIGINT)
+           AS total_count FROM tc
+  UNION
+  SELECT upper(token), CAST(cnt % 5 AS BIGINT), CAST(cnt AS BIGINT) FROM tc
+  UNION
+  SELECT CAST(cnt AS VARCHAR), CAST(cnt AS BIGINT),
+         CAST(cnt * 2 AS BIGINT) FROM tc
+),
+feat AS (
+  SELECT sf, annotated_count, total_count,
+    CASE WHEN total_count > 0
+         THEN annotated_count / CAST(total_count AS DOUBLE)
+         ELSE 1.0 END AS ann_prob,
+    CASE WHEN upper(sf) = sf AND length(sf) < 5
+              AND NOT regexp_matches(sf, '^[0-9]+$')
+         THEN 1.0 ELSE 0.0 END AS is_abbrev,
+    CASE WHEN regexp_matches(sf, '^[0-9]+$') THEN 1.0 ELSE 0.0 END
+      AS is_number
+  FROM stats
+)
+SELECT 'weighted' AS mode, sf, annotated_count, total_count,
+       round(1.0 * ann_prob + 0.3 * is_abbrev - 0.6 * is_number
+             + 0.0 * 1.0, 6) AS spot_score
+FROM feat
+WHERE 1.0 * ann_prob + 0.3 * is_abbrev - 0.6 * is_number + 0.0 * 1.0 >= 0.3
+UNION ALL
+SELECT 'floor', sf, annotated_count, total_count, round(ann_prob, 6)
+FROM feat WHERE ann_prob >= 0.25
+"""
 
 ORACLE_SQL: dict[str, str] = {
     "sf_normalize": (
@@ -1678,6 +2077,15 @@ FROM m
         " SELECT l.mention_key, h.hub AS cluster_id, l.uri"
         " FROM linked l JOIN hubs h ON h.uri = l.uri"
     ),
+    "overlap_resolution": _OVERLAP_SQL,
+    "narrow_context": _NARROW_SQL,
+    "spot_selectors": (
+        f"WITH {_SPOT_CTE} SELECT doc_id, begin, sf FROM m"
+        " WHERE sf NOT IN ('scan', 'join') AND length(sf) >= 5"
+        f" AND sf IN {_WHITELIST_SQL}"
+    ),
+    "spot_score_filter": _SPOT_SCORE_SQL,
+    "markup_strip": _MARKUP_SQL,
 }
 
 QUERIES = {
@@ -1721,4 +2129,9 @@ QUERIES = {
     "events_windowed": q_events_windowed,
     "confidence_thresholds": q_confidence_thresholds,
     "er_clusters": q_er_clusters,
+    "overlap_resolution": q_overlap_resolution,
+    "narrow_context": q_narrow_context,
+    "spot_selectors": q_spot_selectors,
+    "spot_score_filter": q_spot_score_filter,
+    "markup_strip": q_markup_strip,
 }
