@@ -185,7 +185,8 @@ class FSADictionary:
       * "skip"   — drop them (recorded in self.skipped)
     """
 
-    __slots__ = ("by_n", "max_n", "case_sensitive", "residue", "skipped")
+    __slots__ = ("by_n", "max_n", "case_sensitive", "residue", "skipped",
+                 "_prefilter")
 
     def __init__(self, surface_forms, case_sensitive: bool = False,
                  on_boundary: str = "raise"):
@@ -226,6 +227,36 @@ class FSADictionary:
             if on_boundary == "ac" and self.skipped
             else None
         )
+        self._prefilter = None
+
+    def prefilter(self) -> tuple[np.ndarray, np.uint64]:
+        """Shared bitmask prefilter over ALL n-group hashes: a bool
+        table indexed by the hash's low bits. A window hash whose slot
+        is False cannot be in any group, so the per-n binary search
+        (62% of scan time at a realistic ~7% hit rate) only sees slots
+        that pass. Sized at ~16 slots/phrase (fill ≤ ~6%), clamped to
+        64 MB; worker-local derived state — rebuilt after unpickle, one
+        vectorized pass, so it never inflates the broadcast."""
+        pf = self._prefilter
+        if pf is None:
+            total = sum(len(h) for h, _ in self.by_n.values()) or 1
+            size = 1 << min(max(total * 16 - 1, 1 << 16).bit_length(), 26)
+            table = np.zeros(size, dtype=bool)
+            mask = np.uint64(size - 1)
+            for h, _ in self.by_n.values():
+                table[(h & mask).astype(np.int64)] = True
+            pf = (table, mask)
+            self._prefilter = pf
+        return pf
+
+    def __getstate__(self):
+        return {s: getattr(self, s) for s in self.__slots__
+                if s != "_prefilter"}
+
+    def __setstate__(self, state):
+        for k, v in state.items():
+            setattr(self, k, v)
+        self._prefilter = None
 
 
 def build_fsa_dictionary(
@@ -298,11 +329,15 @@ def _scan_one(low: str, text: str, fsa: FSADictionary) -> list:
     out: list[tuple[int, int, str]] = []
     n_tok = len(h)
     if n_tok:
+        table, mask = fsa.prefilter()
         for n, (hashes, sf_set) in fsa.by_n.items():
             if n > n_tok:
                 continue
             gh = _ngram_hashes(h, n)
-            hit_idx = np.nonzero(_member_sorted(hashes, gh))[0]
+            cand = np.nonzero(table[(gh & mask).astype(np.int64)])[0]
+            if not len(cand):
+                continue
+            hit_idx = cand[_member_sorted(hashes, gh[cand])]
             if not len(hit_idx):
                 continue
             for b, e in zip(
@@ -378,12 +413,18 @@ def _scan_ascii_chunk(
     blob_starts = np.zeros(len(idx), dtype=np.int64)
     np.cumsum(lens[:-1] + 1, out=blob_starts[1:])
     tok_span = np.searchsorted(blob_starts, s_arr, side="right") - 1
+    table, mask = fsa.prefilter()
     for n, (hashes, sf_set) in fsa.by_n.items():
         if n > n_tok:
             continue
         gh = _ngram_hashes(h, n)
         same_span = tok_span[: len(gh)] == tok_span[n - 1:]
-        hit_idx = np.nonzero(_member_sorted(hashes, gh) & same_span)[0]
+        cand = np.nonzero(
+            table[(gh & mask).astype(np.int64)] & same_span
+        )[0]
+        if not len(cand):
+            continue
+        hit_idx = cand[_member_sorted(hashes, gh[cand])]
         if not len(hit_idx):
             continue
         # bulk-gather hit coordinates once (numpy scalar indexing
