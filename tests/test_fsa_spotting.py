@@ -264,3 +264,55 @@ def test_group_hashes_nonascii_fallback_matches_scalar():
         )
     )
     assert (got == want).all()
+
+
+def test_prefilter_never_changes_matches_and_rebuilds_after_pickle():
+    """The bitmask prefilter is a pure pruning layer: scans with a
+    freshly-built table, a pickled/unpickled dictionary (table dropped,
+    rebuilt lazily), and a deliberately tiny table must all emit exactly
+    the brute-force matches."""
+    import pickle
+    import random
+
+    import numpy as np
+
+    from dbpedia_spotlight_spark.operators import fsa_spotting as FS
+
+    rng = random.Random(23)
+    vocab = ["w%03d" % i for i in range(300)]
+    phrases = [
+        " ".join(rng.choice(vocab) for _ in range(rng.choice([1, 2, 3])))
+        for _ in range(500)
+    ]
+    fsa = FS.FSADictionary(phrases)
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40)))
+        for _ in range(300)
+    ]
+
+    # brute force: every window checked against the exact phrase sets
+    def brute(t):
+        toks = [(m.start(), m.end(), m.group())
+                for m in FS._TOKEN_RE.finditer(t)]
+        out = []
+        for n, (_h, sf_set) in fsa.by_n.items():
+            for i in range(len(toks) - n + 1):
+                b, e = toks[i][0], toks[i + n - 1][1]
+                if t[b:e] in sf_set:
+                    out.append((b, e, t[b:e]))
+        return sorted(out)
+
+    want = [brute(t) for t in texts]
+    assert [sorted(m) for m in FS._scan_spans_batch(texts, fsa)] == want
+
+    table, mask = fsa.prefilter()
+    assert table.dtype == np.bool_ and fsa._prefilter is not None
+
+    fsa2 = pickle.loads(pickle.dumps(fsa))
+    assert fsa2._prefilter is None  # derived state never ships
+    assert [sorted(m) for m in FS._scan_spans_batch(texts, fsa2)] == want
+
+    # saturate a tiny table (all-True slots = prefilter disabled):
+    # membership must still be exact via the binary-search + verify
+    fsa2._prefilter = (np.ones(16, dtype=bool), np.uint64(15))
+    assert [sorted(m) for m in FS._scan_spans_batch(texts, fsa2)] == want
