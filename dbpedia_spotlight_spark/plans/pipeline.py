@@ -22,6 +22,7 @@ from ..config import DEFAULT_PARAMS, PipelineParams
 from ..operators import disambiguate as D
 from ..operators.candidates import generate_candidates, with_mention_key
 from ..operators.scoring import context_scores
+from ..operators.ahocorasick import AhoCorasick
 from ..operators.spotting import (
     broadcast_automaton,
     build_automaton,
@@ -48,11 +49,21 @@ def annotate(
     spark = documents.sparkSession
     if params.spotter == "fsa":
         from ..operators.fsa_spotting import (
+            FSADictionary,
             broadcast_fsa_dictionary,
             build_fsa_dictionary,
             spot_documents_fsa,
         )
 
+        if automaton_bc is not None and not isinstance(
+            automaton_bc.value, FSADictionary
+        ):
+            raise TypeError(
+                "automaton_bc holds "
+                f"{type(automaton_bc.value).__name__} but params.spotter="
+                "'fsa' needs an FSADictionary (build it with "
+                "build_fsa_dictionary, or set spotter='ac')"
+            )
         if automaton_bc is None:
             # on_boundary="ac": real models contain boundary-edged surface
             # forms ('Yahoo!', 'U.S.') that cannot be token-aligned — they
@@ -67,6 +78,15 @@ def annotate(
             )
         spot = lambda docs: spot_documents_fsa(docs, automaton_bc, params)
     else:
+        if automaton_bc is not None and not isinstance(
+            automaton_bc.value, AhoCorasick
+        ):
+            raise TypeError(
+                "automaton_bc holds "
+                f"{type(automaton_bc.value).__name__} but params.spotter="
+                f"{params.spotter!r} needs an AhoCorasick (build it with "
+                "build_automaton, or set spotter='fsa')"
+            )
         if automaton_bc is None:
             automaton_bc = broadcast_automaton(
                 spark,

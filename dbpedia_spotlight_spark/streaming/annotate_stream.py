@@ -36,16 +36,35 @@ def annotate_stream(
 
     Returns the StreamingQuery; callers await .awaitTermination().
     """
-    from ..operators.spotting import broadcast_automaton, build_automaton
-
     schema = spark.read.parquet(input_dir).schema
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
-    automaton_bc = broadcast_automaton(
-        spark,
-        build_automaton(model.surface_form_stats,
-                        case_sensitive=params.case_sensitive),
-    )
+    # build the dictionary ONCE for the stream's lifetime, matching the
+    # spotter annotate() will route to (a mismatched broadcast type is a
+    # worker-side AttributeError)
+    if params.spotter == "fsa":
+        from ..operators.fsa_spotting import (
+            broadcast_fsa_dictionary,
+            build_fsa_dictionary,
+        )
+
+        automaton_bc = broadcast_fsa_dictionary(
+            spark,
+            build_fsa_dictionary(model.surface_form_stats,
+                                 case_sensitive=params.case_sensitive,
+                                 on_boundary="ac"),
+        )
+    else:
+        from ..operators.spotting import (
+            broadcast_automaton,
+            build_automaton,
+        )
+
+        automaton_bc = broadcast_automaton(
+            spark,
+            build_automaton(model.surface_form_stats,
+                            case_sensitive=params.case_sensitive),
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
