@@ -183,10 +183,13 @@ def scaling_job(master: str, sf_dir: str, shuffle_partitions: int,
         ac_bc,
     ).count()
 
+    phases: dict[str, float] = {}
     t0 = time.time()
     mentions = spot_documents(spanize(docs), ac_bc).cache()
     n_mentions = mentions.count()
+    phases["spot"] = round(time.time() - t0, 3)
 
+    t1 = time.time()
     pc = docs.select(
         F.col("source").alias("uri"),
         F.explode(F.split("text", " ")).alias("sf"),
@@ -198,10 +201,15 @@ def scaling_job(master: str, sf_dir: str, shuffle_partitions: int,
         ),
     ).filter(F.col("_rn") == 1).select("sf", "uri")
     n_linked = mentions.join(F.broadcast(best), "sf").count()
+    phases["link"] = round(time.time() - t1, 3)
 
+    t2 = time.time()
     text_stats(docs).agg(F.sum("n_tokens"), F.count("*")).collect()
+    phases["textstats"] = round(time.time() - t2, 3)
+    t3 = time.time()
     n_cand = minhash_lsh_candidates(docs, shingle_n=3, num_hashes=8,
                                     bands=4).count()
+    phases["minhash"] = round(time.time() - t3, 3)
     elapsed = time.time() - t0
     mentions.unpersist()
     spark.stop()
@@ -212,6 +220,7 @@ def scaling_job(master: str, sf_dir: str, shuffle_partitions: int,
         "n_mentions": n_mentions,
         "n_linked": n_linked,
         "n_minhash_candidates": n_cand,
+        "phases": phases,
     }
 
 
@@ -280,6 +289,17 @@ def main() -> None:
             "efficiency_per_pair": [p[0] for p in pairs],
             "ambient_load1_per_pair": [p[3] for p in pairs],
             "n_mentions": hi["n_mentions"],
+            # per-phase wall at both levels for the MEDIAN pair, plus the
+            # implied per-phase efficiency — pinpoints which stage of the
+            # pipeline loses parallel efficiency instead of averaging the
+            # loss across the whole run
+            "phases_lo": lo.get("phases", {}),
+            "phases_hi": hi.get("phases", {}),
+            "phase_efficiency": {
+                k: round(lo["phases"][k] / hi["phases"][k] / factor, 3)
+                for k in lo.get("phases", {})
+                if hi.get("phases", {}).get(k)
+            },
         }
     else:
         # headline profile honors the quiet-window gate too (default off
