@@ -265,22 +265,42 @@ def main() -> None:
         # still recorded either way — this trades wall-clock for
         # measuring the plan, not the co-tenants.
         wait_load = float(os.environ.get("BENCH_WAIT_LOAD", "2"))
+        # ABA sandwich (default ON since run 19): each trial runs
+        # lo -> hi -> lo and scores the hi run against the MEAN of the
+        # two surrounding lo rates. Ambient co-tenant load on this shared
+        # host drifts on the minutes scale — exactly a pair's duration —
+        # so a plain lo,hi pair aliases any monotone drift into the
+        # ratio (run 18 recorded complementary 0.317 / 1.513 extremes
+        # from one load flip). The sandwich interpolates the lo rate at
+        # the hi run's midpoint, cancelling linear drift; both lo walls
+        # and a load sample around every run are recorded so each pair
+        # remains individually adjudicable.
+        aba = os.environ.get("BENCH_ABA", "1") != "0"
         pairs = []
         for _ in range(tries):
             _wait_for_quiet(wait_load)
             load1 = _load1()
             lo = scaling_job(f"local[{lo_n}]", sf_dir, parts, rep)
             hi = scaling_job(f"local[{hi_n}]", sf_dir, parts, rep)
-            eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / factor
-            pairs.append((round(eff, 3), lo, hi, load1))
+            if aba:
+                lo2 = scaling_job(f"local[{lo_n}]", sf_dir, parts, rep)
+                lo_rate = (lo["docs_per_sec"] + lo2["docs_per_sec"]) / 2
+                lo["docs_per_sec_second_lo"] = lo2["docs_per_sec"]
+                lo["sec_second_lo"] = lo2["sec"]
+            else:
+                lo_rate = lo["docs_per_sec"]
+            eff = (hi["docs_per_sec"] / lo_rate) / factor
+            pairs.append((round(eff, 3), lo, hi, load1, _load1()))
         pairs.sort(key=lambda p: p[0])
-        eff, lo, hi, _ld = pairs[len(pairs) // 2]
+        eff, lo, hi, _ld, _ld_end = pairs[len(pairs) // 2]
         out = {
             "metric": f"scaling_pipeline_sec_local{hi_n}",
             "value": hi["sec"],
             "unit": "sec",
             "queries": {f"pipeline_local{lo_n}": lo["sec"],
-                        f"pipeline_local{hi_n}": hi["sec"]},
+                        f"pipeline_local{hi_n}": hi["sec"],
+                        **({f"pipeline_local{lo_n}_second": lo["sec_second_lo"]}
+                           if "sec_second_lo" in lo else {})},
             "sf": sf,
             "n_docs": hi["n_docs"],
             f"docs_per_sec_local{lo_n}": lo["docs_per_sec"],
@@ -288,6 +308,8 @@ def main() -> None:
             f"scaling_efficiency_{lo_n}_to_{hi_n}": eff,
             "efficiency_per_pair": [p[0] for p in pairs],
             "ambient_load1_per_pair": [p[3] for p in pairs],
+            "ambient_load1_per_pair_end": [p[4] for p in pairs],
+            "methodology": "aba_sandwich" if aba else "lo_hi_pair",
             "n_mentions": hi["n_mentions"],
             # per-phase wall at both levels for the MEDIAN pair, plus the
             # implied per-phase efficiency — pinpoints which stage of the
