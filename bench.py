@@ -43,15 +43,41 @@ def _load1() -> float:
     return float(open("/proc/loadavg").read().split()[0])
 
 
-def _wait_for_quiet(wait_load: float, max_wait_sec: float = 900) -> None:
+def _cpu_probe() -> float:
+    """Wall time of a fixed single-thread workload (~0.1s on an idle
+    core). load1 lags a minute and counts the bench's own decaying load,
+    so it cannot distinguish 'our lo2 just finished' from 'a co-tenant is
+    burning the box' — this probe runs while the bench is otherwise idle,
+    so its stretch factor IS the instantaneous co-tenant pressure."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    return round(time.perf_counter() - t0, 4)
+
+
+def _wait_for_quiet(wait_load: float, max_wait_sec: float = 900,
+                    probe_max: float | None = None) -> None:
     """Optionally park until ambient load drops below wait_load (shared
     host: co-tenant load, not the plan, dominates loaded-window wall
-    times). Bounded wait; proceeds regardless at the deadline."""
-    if not wait_load:
+    times). Bounded wait; proceeds regardless at the deadline.
+
+    probe_max additionally gates on the instantaneous single-thread CPU
+    probe (run 23's lesson: all four pairs started at load1 0.01-0.87 yet
+    their per-job probes read 1.3-2.7x stretch — load1 lags a minute and
+    simply cannot see a co-tenant that started seconds ago, while the
+    probe measures the pressure NOW)."""
+    if not wait_load and not probe_max:
         return
     deadline = time.time() + max_wait_sec
-    while _load1() >= wait_load and time.time() < deadline:
-        time.sleep(30)
+    while time.time() < deadline:
+        if wait_load and _load1() >= wait_load:
+            time.sleep(30)
+            continue
+        if probe_max and _cpu_probe() >= probe_max:
+            time.sleep(30)
+            continue
+        return
 
 
 def run_once(master: str, sf_dir: str, shuffle_partitions: int) -> dict:
@@ -215,6 +241,12 @@ def scaling_job(master: str, sf_dir: str, shuffle_partitions: int,
     spark.stop()
     return {
         "sec": round(elapsed, 3),
+        # load observed when the timed window ends (the start-of-job load
+        # is sampled by the caller): hostile mid-pair bursts — the one
+        # failure mode the pair-start sample cannot see — become visible
+        # per JOB, not just per pair
+        "load1_end": _load1(),
+        "probe": _cpu_probe(),
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / elapsed, 2),
         "n_mentions": n_mentions,
@@ -265,6 +297,10 @@ def main() -> None:
         # still recorded either way — this trades wall-clock for
         # measuring the plan, not the co-tenants.
         wait_load = float(os.environ.get("BENCH_WAIT_LOAD", "2"))
+        # probe gate (default ON since run 24): also require the
+        # single-thread CPU probe under BENCH_WAIT_PROBE sec (~0.11 idle;
+        # 0.14 = accept <=1.3x stretch). Set BENCH_WAIT_PROBE=0 to disable.
+        probe_max = float(os.environ.get("BENCH_WAIT_PROBE", "0.14"))
         # ABA sandwich (default ON since run 19): each trial runs
         # lo -> hi -> lo and scores the hi run against the MEAN of the
         # two surrounding lo rates. Ambient co-tenant load on this shared
@@ -278,21 +314,30 @@ def main() -> None:
         aba = os.environ.get("BENCH_ABA", "1") != "0"
         pairs = []
         for _ in range(tries):
-            _wait_for_quiet(wait_load)
+            _wait_for_quiet(wait_load, probe_max=probe_max)
             load1 = _load1()
+            probe0 = _cpu_probe()
             lo = scaling_job(f"local[{lo_n}]", sf_dir, parts, rep)
             hi = scaling_job(f"local[{hi_n}]", sf_dir, parts, rep)
+            # per-JOB load trace (start, after-lo, after-hi[, after-lo2]):
+            # a co-tenant burst confined to one job — invisible to the
+            # pair-start sample — shows exactly where it landed
+            job_loads = [load1, lo["load1_end"], hi["load1_end"]]
+            probes = [probe0, lo["probe"], hi["probe"]]
             if aba:
                 lo2 = scaling_job(f"local[{lo_n}]", sf_dir, parts, rep)
                 lo_rate = (lo["docs_per_sec"] + lo2["docs_per_sec"]) / 2
                 lo["docs_per_sec_second_lo"] = lo2["docs_per_sec"]
                 lo["sec_second_lo"] = lo2["sec"]
+                job_loads.append(lo2["load1_end"])
+                probes.append(lo2["probe"])
             else:
                 lo_rate = lo["docs_per_sec"]
             eff = (hi["docs_per_sec"] / lo_rate) / factor
-            pairs.append((round(eff, 3), lo, hi, load1, _load1()))
+            pairs.append((round(eff, 3), lo, hi, load1, _load1(), job_loads,
+                          probes))
         pairs.sort(key=lambda p: p[0])
-        eff, lo, hi, _ld, _ld_end = pairs[len(pairs) // 2]
+        eff, lo, hi, _ld, _ld_end, _jl, _pr = pairs[len(pairs) // 2]
         out = {
             "metric": f"scaling_pipeline_sec_local{hi_n}",
             "value": hi["sec"],
@@ -309,6 +354,12 @@ def main() -> None:
             "efficiency_per_pair": [p[0] for p in pairs],
             "ambient_load1_per_pair": [p[3] for p in pairs],
             "ambient_load1_per_pair_end": [p[4] for p in pairs],
+            # [start, after-lo, after-hi, after-lo2] per pair
+            "load1_per_job": [p[5] for p in pairs],
+            # single-thread probe wall sec at [start, after-lo, after-hi,
+            # after-lo2]: the instantaneous co-tenant pressure at each job
+            # boundary (~0.1s idle; 2x stretch = the core was half stolen)
+            "cpu_probe_per_job": [p[6] for p in pairs],
             "methodology": "aba_sandwich" if aba else "lo_hi_pair",
             "n_mentions": hi["n_mentions"],
             # per-phase wall at both levels for the MEDIAN pair, plus the
