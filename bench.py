@@ -56,7 +56,27 @@ def _cpu_probe() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
-def _wait_for_quiet(wait_load: float, max_wait_sec: float = 900,
+_PROBE_BASE: float | None = None
+
+
+def _probe_base() -> float:
+    """Per-process idle-probe calibration: min of a probe burst taken at
+    startup. The sandbox migrates between hosts with very different
+    single-thread clocks (run 23's host probed 0.11s idle; the run-24
+    host probes ~0.26s at loadavg 0.03 with steal <0.2%), so an ABSOLUTE
+    probe threshold misreads a slower-but-idle host as permanently
+    hostile and parks every pair for the full gate timeout. The gate
+    therefore compares each probe against this session's own baseline —
+    a STRETCH factor — which measures contention, not clock speed. min()
+    over the burst because co-tenant pressure only ever inflates the
+    probe; the fastest observation is the closest to the bare clock."""
+    global _PROBE_BASE
+    if _PROBE_BASE is None:
+        _PROBE_BASE = min(_cpu_probe() for _ in range(7))
+    return _PROBE_BASE
+
+
+def _wait_for_quiet(wait_load: float, max_wait_sec: float | None = None,
                     probe_max: float | None = None) -> None:
     """Optionally park until ambient load drops below wait_load (shared
     host: co-tenant load, not the plan, dominates loaded-window wall
@@ -69,12 +89,22 @@ def _wait_for_quiet(wait_load: float, max_wait_sec: float = 900,
     probe measures the pressure NOW)."""
     if not wait_load and not probe_max:
         return
+    if max_wait_sec is None:
+        # default 15 min; overridable because "proceed regardless at the
+        # deadline" is exactly how runs 22/25 started pairs inside
+        # hostile ambient windows — a longer park is cheaper than a
+        # polluted pair when wall-clock allows it
+        max_wait_sec = float(os.environ.get("BENCH_WAIT_MAX", "900"))
     deadline = time.time() + max_wait_sec
     while time.time() < deadline:
         if wait_load and _load1() >= wait_load:
             time.sleep(30)
             continue
-        if probe_max and _cpu_probe() >= probe_max:
+        # min of a short burst, not one probe: the first probe after an
+        # idle sleep lands during the frequency governor's ramp-up and
+        # reads 2-3x slow on an EMPTY box (measured 0.26-0.35s vs 0.11s
+        # warm) — only sustained stretch across the burst is contention
+        if probe_max and min(_cpu_probe() for _ in range(3)) >= probe_max:
             time.sleep(30)
             continue
         return
@@ -298,9 +328,21 @@ def main() -> None:
         # measuring the plan, not the co-tenants.
         wait_load = float(os.environ.get("BENCH_WAIT_LOAD", "2"))
         # probe gate (default ON since run 24): also require the
-        # single-thread CPU probe under BENCH_WAIT_PROBE sec (~0.11 idle;
-        # 0.14 = accept <=1.3x stretch). Set BENCH_WAIT_PROBE=0 to disable.
-        probe_max = float(os.environ.get("BENCH_WAIT_PROBE", "0.14"))
+        # single-thread CPU probe under BENCH_WAIT_PROBE_FACTOR x this
+        # session's own idle baseline (default 1.3x stretch — the
+        # baseline self-calibrates per host because the sandbox migrates
+        # between machines with ~2.5x different single-thread clocks).
+        # BENCH_WAIT_PROBE (absolute seconds) overrides if set;
+        # BENCH_WAIT_PROBE=0 or _FACTOR=0 disables.
+        probe_env = os.environ.get("BENCH_WAIT_PROBE")
+        probe_factor = float(os.environ.get("BENCH_WAIT_PROBE_FACTOR",
+                                            "1.3"))
+        if probe_env is not None:
+            probe_max = float(probe_env)
+        elif probe_factor:
+            probe_max = round(_probe_base() * probe_factor, 4)
+        else:
+            probe_max = 0.0
         # ABA sandwich (default ON since run 19): each trial runs
         # lo -> hi -> lo and scores the hi run against the MEAN of the
         # two surrounding lo rates. Ambient co-tenant load on this shared
@@ -358,8 +400,13 @@ def main() -> None:
             "load1_per_job": [p[5] for p in pairs],
             # single-thread probe wall sec at [start, after-lo, after-hi,
             # after-lo2]: the instantaneous co-tenant pressure at each job
-            # boundary (~0.1s idle; 2x stretch = the core was half stolen)
+            # boundary (2x stretch vs cpu_probe_base = half the core was
+            # stolen). cpu_probe_base is THIS host's idle calibration —
+            # read stretch = probe / base, not the absolute seconds (the
+            # sandbox migrates between hosts with ~2.5x clock spread).
             "cpu_probe_per_job": [p[6] for p in pairs],
+            "cpu_probe_base": _probe_base(),
+            "cpu_probe_gate": probe_max,
             "methodology": "aba_sandwich" if aba else "lo_hi_pair",
             "n_mentions": hi["n_mentions"],
             # per-phase wall at both levels for the MEDIAN pair, plus the

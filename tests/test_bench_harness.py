@@ -53,3 +53,19 @@ def test_scaling_job_records_probe_and_load_fields():
     src = inspect.getsource(bench.scaling_job)
     assert '"load1_end"' in src
     assert '"probe"' in src
+
+
+def test_probe_base_is_min_of_burst_and_memoized():
+    # the sandbox migrates between hosts with ~2.5x single-thread clock
+    # spread, and the FIRST probe after idle lands in the frequency
+    # governor's ramp (measured 0.26-0.35s on an EMPTY box vs 0.11s
+    # warm) — so the calibration must be a min-of-burst, memoized so
+    # every gate comparison reads the same baseline
+    bench._PROBE_BASE = None
+    b1 = bench._probe_base()
+    assert 0.01 < b1 < 5.0
+    # memoized: a second call returns the identical object/value
+    assert bench._probe_base() == b1
+    # min-of-burst: the baseline can't exceed a fresh single probe by
+    # much (it was the min over 7), allow generous co-tenant noise
+    assert b1 <= bench._cpu_probe() * 1.5 + 0.05
