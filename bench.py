@@ -263,8 +263,13 @@ def scaling_job(master: str, sf_dir: str, shuffle_partitions: int,
     text_stats(docs).agg(F.sum("n_tokens"), F.count("*")).collect()
     phases["textstats"] = round(time.time() - t2, 3)
     t3 = time.time()
+    # xxhash64 = the LONG-typed production family (run >=27): the hex-md5
+    # family is the DuckDB-oracle twin gated at sf0.01; at scale its
+    # per-shingle string allocations make GC the shared bottleneck across
+    # executor threads (phase scaled ~0.73 from 2->8 cores vs ~0.87 for
+    # the allocation-light spot phase)
     n_cand = minhash_lsh_candidates(docs, shingle_n=3, num_hashes=8,
-                                    bands=4).count()
+                                    bands=4, hash_fn="xxhash64").count()
     phases["minhash"] = round(time.time() - t3, 3)
     elapsed = time.time() - t0
     mentions.unpersist()
@@ -299,12 +304,15 @@ def main() -> None:
         # BENCH_LO/BENCH_HI=8/32 to use the full machine when it is idle.
         lo_n = int(os.environ.get("BENCH_LO", "2"))
         hi_n = int(os.environ.get("BENCH_HI", str(lo_n * 4)))
-        # 60x replication (~300k docs) so per-core work dominates fixed
-        # per-job overheads (stage tails, action barriers); measured
-        # efficiency rises monotonically with input size (20x: 0.66,
-        # 40x: 0.80, 60x: 0.91) — the plateau, not the overhead, is the
-        # plan-shape signal
-        rep = int(os.environ.get("BENCH_REPLICATE", "60"))
+        # replication so per-core work dominates fixed per-job overheads
+        # (stage tails, action barriers); measured efficiency rises
+        # monotonically with input size (20x: 0.66, 40x: 0.80, 60x:
+        # 0.91) — the plateau, not the overhead, is the plan-shape
+        # signal. 120x (~600k docs) since run 27: the xxhash64 minhash
+        # kernel halved the pipeline wall, so the replicate doubles to
+        # keep the lo-level job at the same ~2 min wall where the
+        # plateau was measured
+        rep = int(os.environ.get("BENCH_REPLICATE", "120"))
         # identical config (incl. shuffle partitioning) for both runs —
         # ONLY the master's core count differs (north_rule). The sandbox
         # host carries fluctuating ambient load from other tenants

@@ -93,6 +93,54 @@ def word_shingles_udf(n: int):
     return shingles
 
 
+def word_shingle_hashes_udf(n: int):
+    """64-bit hashes of distinct word n-grams, ArrayType(LongType()).
+
+    The scale twin of word_shingles_udf: instead of materializing n-gram
+    STRINGS in Python (len(toks) `' '.join`s per doc) and shipping
+    ~30-byte strings through Arrow for the JVM to hash again, hash each
+    token once (pandas' cython SipHash over the token array) and combine
+    n consecutive token hashes with a vectorized polynomial fold — the
+    Arrow batch then carries 8-byte LONGs. Same dedup semantics
+    (distinct n-grams; short docs fold all tokens into one shingle;
+    empty docs get one constant shingle). Deterministic: pd.util.
+    hash_array uses a fixed key, and uint64 wraparound is well-defined.
+    """
+    import re
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    split = re.compile(r"[^a-z0-9]+")
+    _P = np.uint64(1000003)
+    _EMPTY = int(
+        pd.util.hash_array(np.array([""], dtype=object),
+                           categorize=False)[0]
+    )
+
+    @pandas_udf(ArrayType(LongType()))
+    def shingle_hashes(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [w for w in split.split(t.lower()) if w] if t else []
+            if not toks:
+                out.append([np.int64(np.uint64(_EMPTY))])
+                continue
+            th = pd.util.hash_array(
+                np.array(toks, dtype=object), categorize=False
+            )
+            k = n if len(toks) >= n else len(toks)
+            with np.errstate(over="ignore"):
+                g = th[: len(th) - k + 1].copy()
+                for j in range(1, k):
+                    g = g * _P + th[j: len(th) - k + 1 + j]
+            out.append(np.unique(g).view(np.int64).tolist())
+        return pd.Series(out)
+
+    return shingle_hashes
+
+
 def minhash_signature(shingles_col, num_hashes: int = 16):
     """array<string> of per-seed minima of md5(seed || shingle).
 
@@ -121,33 +169,75 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     shingle → minhash → band → bucket-join (SURVEY driver mandate).
     Output: (id_a, id_b, band) — one row per (pair, matching band).
+
+    hash_fn picks the min-hash family:
+      * "md5" (default) — hex-string digests, bit-reproducible in DuckDB
+        (the sf0.01 correctness gate's oracle twin).
+      * "xxhash64" — Spark's seeded 64-bit xxHash, LONG-typed end to end.
+        The hot loop (num_hashes hashes per exploded shingle row) then
+        allocates nothing: md5 builds a concat buffer + digest + hex
+        string per call, and at 8+ executor threads in one JVM that
+        allocation rate makes GC the shared bottleneck (measured: the
+        minhash phase scaled at ~0.73 from 2→8 cores while the
+        allocation-light spot phase scaled at ~0.87). Shingles come from
+        word_shingle_hashes_udf — 8-byte LONGs through Arrow instead of
+        n-gram strings. Same LSH family
+        guarantees (per-band collision ≈ J^r), different permutation
+        sample, so candidate sets differ per-pair but recall at the
+        design point is equal — pinned in tests. Use this at scale.
     """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     rows_per_band = num_hashes // bands
     # Signatures via explode + aggregating mins rather than the inline
     # array expression: Catalyst does no common-subexpression elimination
     # through lambda functions, so inlining re-evaluates the shingle +
-    # md5 tree once per band reference (~32x). The groupBy computes each
-    # md5 exactly once and map-side combine reduces the shuffle to one
+    # hash tree once per band reference (~32x). The groupBy computes each
+    # hash exactly once and map-side combine reduces the shuffle to one
     # signature row per document — also the right shape at 10^12 rows.
+    shingler = (
+        word_shingle_hashes_udf(shingle_n)
+        if hash_fn == "xxhash64"
+        else word_shingles_udf(shingle_n)
+    )
     exploded = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            word_shingles_udf(shingle_n)(F.col(text_col))
-        ).alias("g"),
+        F.explode(shingler(F.col(text_col))).alias("g"),
     )
-    sig = exploded.groupBy("_id").agg(
-        F.array(
-            *[
-                F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("g"))))
-                for i in range(num_hashes)
-            ]
-        ).alias("sig")
-    )
+    if hash_fn == "xxhash64":
+        # seed folded in as a leading literal column (xxhash64 chains its
+        # inputs, so (i, g) is a keyed hash of g); min over LONGs
+        seeded = [
+            F.min(F.xxhash64(F.lit(i), F.col("g")))
+            for i in range(num_hashes)
+        ]
+        # bucket = one xxhash64 over the band's LONG slice — no strings
+        def bucket_of(b: int):
+            return F.xxhash64(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+            )
+    else:
+        seeded = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("g"))))
+            for i in range(num_hashes)
+        ]
+
+        def bucket_of(b: int):
+            return F.md5(
+                F.array_join(
+                    F.slice(F.col("sig"), b * rows_per_band + 1,
+                            rows_per_band),
+                    "|",
+                )
+            )
+
+    sig = exploded.groupBy("_id").agg(F.array(*seeded).alias("sig"))
     banded = sig.select(
         "_id",
         F.explode(
@@ -155,16 +245,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.array_join(
-                                F.slice(
-                                    F.col("sig"),
-                                    b * rows_per_band + 1,
-                                    rows_per_band,
-                                ),
-                                "|",
-                            )
-                        ).alias("bucket"),
+                        bucket_of(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]

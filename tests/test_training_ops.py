@@ -49,6 +49,26 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert ("d1", "d4") not in pairs
 
 
+def test_minhash_xxhash64_scale_path(docs):
+    # the LONG-typed production family: same LSH guarantees, no hex
+    # strings in the hot loop (GC-bound at 8+ threads otherwise)
+    cand = minhash_lsh_candidates(docs, shingle_n=2, num_hashes=16,
+                                  bands=8, hash_fn="xxhash64")
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert ("d1", "d2") in pairs          # identical docs always collide
+    assert ("d1", "d3") in pairs          # near dup collides in >=1 band
+    assert ("d1", "d4") not in pairs
+    # deterministic: a second run yields the identical candidate set
+    cand2 = minhash_lsh_candidates(docs, shingle_n=2, num_hashes=16,
+                                   bands=8, hash_fn="xxhash64")
+    assert pairs == {(r["id_a"], r["id_b"]) for r in cand2.collect()}
+
+
+def test_minhash_unknown_hash_fn_rejected(docs):
+    with pytest.raises(ValueError, match="hash_fn"):
+        minhash_lsh_candidates(docs, hash_fn="sha1")
+
+
 def test_ngram_jaccard_values(spark, docs):
     pairs = spark.createDataFrame(
         [("d1", "d2"), ("d1", "d3"), ("d1", "d5")],
