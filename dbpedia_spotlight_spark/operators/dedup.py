@@ -309,6 +309,61 @@ def ngram_jaccard(
     )
 
 
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    hash_fn: str = "md5",
+    key_pad: int = 8,
+) -> DataFrame:
+    """End-to-end near-duplicate deduplication, one call.
+
+    The composition a training-data pipeline actually runs: banded
+    MinHash LSH candidates → exact n-gram Jaccard verification →
+    connected components over the verified pairs → min-id group
+    representative. Output: one row per input doc with
+    (id_col, dup_group, is_near_duplicate) — dup_group is the
+    zero-padded id of the group representative (a doc in no verified
+    pair is its own group), is_near_duplicate marks non-representative
+    members.
+
+    Every stage keeps its scale shape: LSH bucket join (no all-pairs),
+    Jaccard only on candidates, large-star/small-star CC above the
+    driver cutoff. hash_fn="xxhash64" switches the candidate stage to
+    the allocation-free LONG kernel for production runs; "md5" keeps
+    the DuckDB-twin family the sf0.01 gate verifies.
+    """
+    cand = minhash_lsh_candidates(
+        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n,
+        num_hashes=num_hashes, bands=bands, hash_fn=hash_fn,
+    ).select("id_a", "id_b").distinct()
+    ver = ngram_jaccard(
+        df, cand, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+
+    def key(c):
+        return F.lpad(F.col(c).cast("string"), key_pad, "0")
+
+    from .cc import connected_components
+
+    edges = ver.select(key("id_a").alias("src"), key("id_b").alias("dst"))
+    cc = connected_components(edges)
+    keyed = df.select(F.col(id_col), key(id_col).alias("_k"))
+    grp = F.coalesce(F.col("cluster_id"), F.col("_k"))
+    return (
+        keyed.join(cc, keyed["_k"] == cc["mention_key"], "left")
+        .select(
+            id_col,
+            grp.alias("dup_group"),
+            (grp != F.col("_k")).alias("is_near_duplicate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit, Arrow-batched kernel)
 # ---------------------------------------------------------------------------

@@ -36,6 +36,7 @@ from ..operators.cc import connected_components
 from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
+    near_dedup,
     ngram_jaccard,
     simhash_dedup,
 )
@@ -669,6 +670,23 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_lsh_candidates(
         dup, shingle_n=3, num_hashes=8, bands=4
     ).select("id_a", "id_b").distinct()
+
+
+def q_neardup_dedup(spark, sf_dir):
+    """The full near-dedup composition as ONE gate: LSH candidates →
+    exact Jaccard verify → connected components → min-id representative.
+    Corpus: every doc + an exact copy (+10000) + a first-word-dropped
+    near copy (+20000, every third doc) so clusters of size 2 and 3 with
+    jaccard in (0.5, 1] exist."""
+    docs = _docs(spark, sf_dir)
+    near = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    dup = _dup_corpus(docs).unionByName(near)
+    return near_dedup(
+        dup, shingle_n=3, num_hashes=8, bands=4, jaccard_threshold=0.5
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1812,6 +1830,46 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """,
+    # the full near-dedup composition: candidates (same CTEs as
+    # dedup_minhash) -> exact Jaccard verify -> transitive closure via a
+    # recursive CTE (min reachable id = the group representative)
+    "neardup_dedup": f"""
+WITH RECURSIVE
+dup AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 10000, text FROM documents
+        UNION ALL SELECT doc_id + 20000, substr(text, instr(text, ' ') + 1)
+                  FROM documents WHERE doc_id % 3 = 0),
+{_SHINGLE_CTE.format(src="dup")},
+sig AS (SELECT doc_id, {_MINHASH_SIG} FROM sh GROUP BY doc_id),
+banded AS ({_MINHASH_BANDS}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id),
+n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+          FROM cand c JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.g = a.g
+          GROUP BY 1, 2),
+ver AS (SELECT c.id_a, c.id_b FROM cand c
+        JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN n na ON na.doc_id = c.id_a
+        JOIN n nb ON nb.doc_id = c.id_b
+        WHERE i.ni / CAST(na.n_sh + nb.n_sh - i.ni AS DOUBLE) >= 0.5),
+e AS (SELECT lpad(CAST(id_a AS VARCHAR), 8, '0') AS a,
+             lpad(CAST(id_b AS VARCHAR), 8, '0') AS b FROM ver
+      UNION SELECT lpad(CAST(id_b AS VARCHAR), 8, '0'),
+                   lpad(CAST(id_a AS VARCHAR), 8, '0') FROM ver),
+walk(a, b) AS (SELECT a, b FROM e
+               UNION SELECT w.a, e.b FROM walk w JOIN e ON w.b = e.a),
+grp AS (SELECT a, least(a, min(b)) AS dup_group FROM walk GROUP BY a)
+SELECT d.doc_id,
+  coalesce(g.dup_group, lpad(CAST(d.doc_id AS VARCHAR), 8, '0'))
+    AS dup_group,
+  coalesce(g.dup_group, lpad(CAST(d.doc_id AS VARCHAR), 8, '0'))
+    <> lpad(CAST(d.doc_id AS VARCHAR), 8, '0') AS is_near_duplicate
+FROM dup d LEFT JOIN grp g ON g.a = lpad(CAST(d.doc_id AS VARCHAR), 8, '0')
+""",
     "ngram_jaccard": f"""
 WITH {_SHINGLE_CTE.format(src="documents")},
 n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -2109,6 +2167,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "neardup_dedup": q_neardup_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,

@@ -11,6 +11,7 @@ from dbpedia_spotlight_spark.operators.ann import (
 from dbpedia_spotlight_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
+    near_dedup,
     ngram_jaccard,
     simhash_dedup,
 )
@@ -81,6 +82,26 @@ def test_ngram_jaccard_values(spark, docs):
     assert got[("d1", "d2")] == 1.0
     assert 0.0 < got[("d1", "d3")] < 1.0
     assert got[("d1", "d5")] == 0.0
+
+
+@pytest.mark.parametrize("fn", ["md5", "xxhash64"])
+def test_near_dedup_composition(docs, fn):
+    # d1=d2 exact, d3 near (1 of 9 words differs); d4/d5 unrelated.
+    # threshold 0.3: trigram jaccard(d1,d3) = 4/10 = 0.4 passes
+    out = {
+        r["doc_id"]: r
+        for r in near_dedup(docs, shingle_n=3, num_hashes=16, bands=8,
+                            jaccard_threshold=0.3, hash_fn=fn).collect()
+    }
+    assert len(out) == 5                      # one row per input doc
+    assert out["d1"]["dup_group"] == out["d2"]["dup_group"] \
+        == out["d3"]["dup_group"]             # transitive cluster
+    assert not out["d1"]["is_near_duplicate"]  # min-id representative
+    assert out["d2"]["is_near_duplicate"] and out["d3"]["is_near_duplicate"]
+    # singletons are their own group and not duplicates
+    for d in ("d4", "d5"):
+        assert not out[d]["is_near_duplicate"]
+        assert out[d]["dup_group"].endswith(d)
 
 
 def test_simhash_near_dups(docs):
