@@ -958,6 +958,48 @@ def q_er_clusters(spark, sf_dir):
     )
 
 
+def q_er_incremental(spark, sf_dir):
+    """Streaming incremental ER (streaming/er_stream.py): the SAME
+    spot -> prior-link chain as er_clusters, but the linked mentions
+    arrive in three chunks and the clusters are MAINTAINED by
+    incremental_cc_update over stable-URI star edges — contract each
+    chunk's edges through the running state, CC on the contracted graph
+    only, compose the root remap back. Hash-gated against the EXACT
+    er_clusters oracle SQL: the chunking-invariance claim (any split of
+    the edge stream yields batch CC's clusters), checked per value."""
+    from ..streaming.er_stream import (
+        current_clusters,
+        incremental_cc_update,
+        uri_star_edges,
+    )
+
+    linked = q_prior_disambiguation(spark, sf_dir).withColumn(
+        "mention_key",
+        F.concat_ws(":", F.col("doc_id"), F.col("begin")),
+    ).cache()
+    state = None
+    for k in range(3):
+        chunk = linked.filter(
+            F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(3)) == k
+        )
+        state = incremental_cc_update(
+            state, uri_star_edges(chunk)
+        ).localCheckpoint()  # truncate the per-batch plan, as the
+        # streaming path's checkpoint stage does
+    clusters = current_clusters(state)
+    return (
+        linked.select("mention_key", "uri")
+        .join(clusters, "mention_key", "left")
+        .select(
+            "mention_key",
+            F.coalesce(F.col("cluster_id"), F.col("mention_key")).alias(
+                "cluster_id"
+            ),
+            "uri",
+        )
+    )
+
+
 def _overlap_fixture(spark, sf_dir):
     """Deterministic overlapping-spot rows (doc_id < 400), crafted so the
     greedy walk in drop_overlapping_spots takes EVERY branch of
@@ -2146,6 +2188,10 @@ FROM m
     "markup_strip": _MARKUP_SQL,
 }
 
+# the incremental streaming path must reproduce the batch clusters
+# EXACTLY (chunking invariance), so its oracle IS the er_clusters SQL
+ORACLE_SQL["er_incremental"] = ORACLE_SQL["er_clusters"]
+
 QUERIES = {
     "sf_normalize": q_sf_normalize,
     "token_counts": q_token_counts,
@@ -2188,6 +2234,7 @@ QUERIES = {
     "events_windowed": q_events_windowed,
     "confidence_thresholds": q_confidence_thresholds,
     "er_clusters": q_er_clusters,
+    "er_incremental": q_er_incremental,
     "overlap_resolution": q_overlap_resolution,
     "narrow_context": q_narrow_context,
     "spot_selectors": q_spot_selectors,
