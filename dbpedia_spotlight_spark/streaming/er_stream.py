@@ -164,7 +164,9 @@ def update_er_state(
         return store.read(stage)
     prev_v, state = _latest_state(store)
     edges = uri_star_edges(linked)
-    new_state = incremental_cc_update(state, edges)
+    # materialize once — the counter queries below would otherwise each
+    # recompute the whole contract+CC+compose plan
+    new_state = incremental_cc_update(state, edges).localCheckpoint()
     n_edges = edges.count()
     if state is None:
         n_new = new_state.count()

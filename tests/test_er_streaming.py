@@ -90,6 +90,18 @@ def test_uri_star_incremental_matches_batch_er(spark):
     assert all(not v.startswith("~uri:") for v in got.values())
 
 
+def test_empty_batch_is_a_noop(spark):
+    linked = spark.createDataFrame(
+        [("1:0", "uriA"), ("2:0", "uriA")],
+        "mention_key string, uri string",
+    )
+    state = incremental_cc_update(None, uri_star_edges(linked))
+    before = sorted(map(tuple, state.collect()))
+    empty = spark.createDataFrame([], "mention_key string, uri string")
+    after = incremental_cc_update(state, uri_star_edges(empty))
+    assert sorted(map(tuple, after.collect())) == before
+
+
 def _write_docs(spark, path, rows):
     spark.createDataFrame(
         rows, "doc_id string, text string"
