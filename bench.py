@@ -183,6 +183,20 @@ def scaling_job(master: str, sf_dir: str, shuffle_partitions: int,
         app_name=f"scaling-{master}",
         master=master,
         shuffle_partitions=shuffle_partitions,
+        # 24g at BOTH levels (identical config; only the master differs).
+        # The default 8g heap makes GC frequency scale with parallelism:
+        # the allocation RATE at 4N threads is 4x, so on a fixed heap the
+        # collector runs 4x as often and its pause share suppresses the
+        # hi level only — a local-mode artifact, not a plan property (on
+        # a real cluster total heap grows with executor count; a fixed
+        # shared heap under-provisions hi relative to that). Measured
+        # (scripts/microbench_minhash.py, 120x, quiet host): minhash
+        # phase efficiency 0.655 -> 0.812 and hi wall 30.2s -> 25.4s
+        # from the heap change alone. Runs >= 36 use this.
+        extra_conf={
+            "spark.driver.memory": os.environ.get("BENCH_DRIVER_MEM",
+                                                  "24g"),
+        },
     )
     base = DQ._docs(spark, sf_dir)
     # Replicas must be textually DISTINCT, not 20 near-identical copies:
@@ -362,6 +376,22 @@ def main() -> None:
         # and a load sample around every run are recorded so each pair
         # remains individually adjudicable.
         aba = os.environ.get("BENCH_ABA", "1") != "0"
+        # process-level JIT warmup (runs >= 36): the FIRST pair of nearly
+        # every earlier run read ~0.10 below the run's later pairs
+        # (240x runs 30-35: first-pair median 0.744 vs 0.876 for later
+        # pairs). Cause: all jobs share one JVM, and C2/codegen
+        # compilation state accumulates across sessions — pair 1's lo2
+        # runs JIT-warm while its hi is still part-cold, inflating the
+        # ABA lo rate and deflating the ratio. Measured directly
+        # (scripts/microbench_minhash.py): the hi job's wall drops
+        # 10-16% between a process's first and second ABA sweep while
+        # the lo walls move <2%. One throwaway lo+hi job at ~1/10 the
+        # replicate warms the shared JVM so pair 1 measures the PLAN,
+        # not compiler state. Prospective, like every protocol change.
+        if os.environ.get("BENCH_WARMUP", "1") != "0":
+            warm_rep = max(1, rep // 10)
+            scaling_job(f"local[{lo_n}]", sf_dir, parts, warm_rep)
+            scaling_job(f"local[{hi_n}]", sf_dir, parts, warm_rep)
         pairs = []
         for _ in range(tries):
             _wait_for_quiet(wait_load, probe_max=probe_max)

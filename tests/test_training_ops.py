@@ -50,19 +50,52 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert ("d1", "d4") not in pairs
 
 
-def test_minhash_xxhash64_scale_path(docs):
-    # the LONG-typed production family: same LSH guarantees, no hex
-    # strings in the hot loop (GC-bound at 8+ threads otherwise)
+@pytest.mark.parametrize("fn", ["xxhash64", "perm64"])
+def test_minhash_scale_paths(docs, fn):
+    # the LONG-typed production families: same LSH guarantees, no hex
+    # strings in the hot loop (GC-bound at 8+ threads otherwise);
+    # "perm64" additionally computes the signature in one Arrow kernel
+    # (no explode, no groupBy exchange)
     cand = minhash_lsh_candidates(docs, shingle_n=2, num_hashes=16,
-                                  bands=8, hash_fn="xxhash64")
+                                  bands=8, hash_fn=fn)
     pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
     assert ("d1", "d2") in pairs          # identical docs always collide
     assert ("d1", "d3") in pairs          # near dup collides in >=1 band
     assert ("d1", "d4") not in pairs
     # deterministic: a second run yields the identical candidate set
     cand2 = minhash_lsh_candidates(docs, shingle_n=2, num_hashes=16,
-                                   bands=8, hash_fn="xxhash64")
+                                   bands=8, hash_fn=fn)
     assert pairs == {(r["id_a"], r["id_b"]) for r in cand2.collect()}
+
+
+def test_minhash_family_recall_parity(spark):
+    # the three hash families are different permutation samples of the
+    # SAME banded-LSH design point, so recall over a corpus with known
+    # near-dups must match (docstring claim: "recall at the design point
+    # is equal"). 30 planted pairs at ~93% token overlap; 4 bands of 4
+    # rows: per-band collision ~0.93^4*... high enough that >=90% of the
+    # planted pairs must surface in every family.
+    import random
+
+    rnd = random.Random(7)
+    words = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(30):
+        toks = [rnd.choice(words) for _ in range(60)]
+        near = list(toks)
+        near[rnd.randrange(60)] = "zzz"  # one token differs
+        rows.append((f"a{i:02d}", " ".join(toks)))
+        rows.append((f"b{i:02d}", " ".join(near)))
+    corpus = spark.createDataFrame(rows, "doc_id string, text string")
+    truth = {(f"a{i:02d}", f"b{i:02d}") for i in range(30)}
+    recalls = {}
+    for fn in ("md5", "xxhash64", "perm64"):
+        cand = minhash_lsh_candidates(corpus, shingle_n=3, num_hashes=16,
+                                      bands=4, hash_fn=fn)
+        pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+        recalls[fn] = len(truth & pairs) / len(truth)
+    for fn, r in recalls.items():
+        assert r >= 0.9, (fn, recalls)
 
 
 def test_minhash_unknown_hash_fn_rejected(docs):
@@ -84,13 +117,19 @@ def test_ngram_jaccard_values(spark, docs):
     assert got[("d1", "d5")] == 0.0
 
 
-@pytest.mark.parametrize("fn", ["md5", "xxhash64"])
+@pytest.mark.parametrize("fn", ["md5", "xxhash64", "perm64"])
 def test_near_dedup_composition(docs, fn):
     # d1=d2 exact, d3 near (1 of 9 words differs); d4/d5 unrelated.
-    # threshold 0.3: trigram jaccard(d1,d3) = 4/10 = 0.4 passes
+    # threshold 0.3: trigram jaccard(d1,d3) = 4/10 = 0.4 passes.
+    # bands=16 (1 row/band) so candidate recall at J=0.4 is
+    # 1-(1-J)^16 ~ 0.9997 for EVERY permutation sample — at the old
+    # 2-rows/band point it was ~0.75 and whether a family's fixed seed
+    # hit was luck (perm64's missed). Unrelated docs (disjoint
+    # shingles) still never collide, and the Jaccard stage verifies
+    # every candidate, so the looser stage-1 point changes nothing else.
     out = {
         r["doc_id"]: r
-        for r in near_dedup(docs, shingle_n=3, num_hashes=16, bands=8,
+        for r in near_dedup(docs, shingle_n=3, num_hashes=16, bands=16,
                             jaccard_threshold=0.3, hash_fn=fn).collect()
     }
     assert len(out) == 5                      # one row per input doc
