@@ -392,12 +392,30 @@ def main() -> None:
             warm_rep = max(1, rep // 10)
             scaling_job(f"local[{lo_n}]", sf_dir, parts, warm_rep)
             scaling_job(f"local[{hi_n}]", sf_dir, parts, warm_rep)
+        # lo-wall chaining (runs >= 37): consecutive pairs share the
+        # boundary lo run — pair i's trailing lo2 becomes pair i+1's
+        # leading lo — so every hi stays bracketed by two lo walls (the
+        # sandwich's drift-cancellation is unchanged) while N pairs cost
+        # N+1 lo walls instead of 2N (~5.5 min/pair marginal at 240x vs
+        # ~9.8). Adjacent pair efficiencies share one lo sample — a mild
+        # statistical coupling, disclosed here and in BASELINE.md; the
+        # pooled median is robust to it. The chain BREAKS (fresh leading
+        # lo) whenever the quiet gate actually parked: a reused lo would
+        # predate the load excursion the gate just waited out.
+        chain = aba and os.environ.get("BENCH_CHAIN", "1") != "0"
         pairs = []
+        prev_lo = None
         for _ in range(tries):
+            gate_t0 = time.time()
             _wait_for_quiet(wait_load, probe_max=probe_max)
+            gate_waited = time.time() - gate_t0
             load1 = _load1()
             probe0 = _cpu_probe()
-            lo = scaling_job(f"local[{lo_n}]", sf_dir, parts, rep)
+            if chain and prev_lo is not None and gate_waited < 60:
+                lo = dict(prev_lo)
+                lo["chained_from_prev_pair"] = True
+            else:
+                lo = scaling_job(f"local[{lo_n}]", sf_dir, parts, rep)
             hi = scaling_job(f"local[{hi_n}]", sf_dir, parts, rep)
             # per-JOB load trace (start, after-lo, after-hi[, after-lo2]):
             # a co-tenant burst confined to one job — invisible to the
@@ -411,6 +429,7 @@ def main() -> None:
                 lo["sec_second_lo"] = lo2["sec"]
                 job_loads.append(lo2["load1_end"])
                 probes.append(lo2["probe"])
+                prev_lo = lo2
             else:
                 lo_rate = lo["docs_per_sec"]
             eff = (hi["docs_per_sec"] / lo_rate) / factor
@@ -445,7 +464,12 @@ def main() -> None:
             "cpu_probe_per_job": [p[6] for p in pairs],
             "cpu_probe_base": _probe_base(),
             "cpu_probe_gate": probe_max,
-            "methodology": "aba_sandwich" if aba else "lo_hi_pair",
+            "methodology": ("aba_chained" if chain else
+                            "aba_sandwich" if aba else "lo_hi_pair"),
+            # True where the pair's LEADING lo was the previous pair's
+            # trailing lo (see chaining note above)
+            "chained_per_pair": [bool(p[1].get("chained_from_prev_pair"))
+                                 for p in pairs],
             "n_mentions": hi["n_mentions"],
             # per-phase wall at both levels for the MEDIAN pair, plus the
             # implied per-phase efficiency — pinpoints which stage of the
