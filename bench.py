@@ -403,40 +403,78 @@ def main() -> None:
         # lo) whenever the quiet gate actually parked: a reused lo would
         # predate the load excursion the gate just waited out.
         chain = aba and os.environ.get("BENCH_CHAIN", "1") != "0"
+        # multi-hi grouping (runs >= 36): BENCH_GROUP=K runs K hi jobs
+        # between each pair of lo walls and scores hi_i against the lo
+        # rate LINEARLY INTERPOLATED at hi_i's wall-clock midpoint
+        # between the two bracketing walls. At K=1 the midpoint sits
+        # halfway between the walls, so the interpolation reduces to the
+        # ABA sandwich's mean — same drift-cancellation, generalized.
+        # With chaining, K pairs cost K hi + 1 lo marginally (~160 s at
+        # 240x vs ~330 s), at the cost of K pairs sharing both walls
+        # (coupling disclosed per pair via group_per_pair; the pooled
+        # MEDIAN over many groups is robust to it). The linear-drift
+        # window stretches from ~6 to ~8 min at K=3 / 240x — each hi
+        # still carries its own load1/probe trace for adjudication.
+        group_k = (max(1, int(os.environ.get("BENCH_GROUP", "1")))
+                   if aba else 1)
         pairs = []
-        prev_lo = None
-        for _ in range(tries):
+        prev_lo = None  # (job dict, wall-clock midpoint) of last lo wall
+        done = 0
+        group_idx = 0
+        while done < tries:
+            k = min(group_k, tries - done)
             gate_t0 = time.time()
             _wait_for_quiet(wait_load, probe_max=probe_max)
             gate_waited = time.time() - gate_t0
             load1 = _load1()
             probe0 = _cpu_probe()
             if chain and prev_lo is not None and gate_waited < 60:
-                lo = dict(prev_lo)
+                lo, lo_mid = dict(prev_lo[0]), prev_lo[1]
                 lo["chained_from_prev_pair"] = True
             else:
+                t0 = time.time()
                 lo = scaling_job(f"local[{lo_n}]", sf_dir, parts, rep)
-            hi = scaling_job(f"local[{hi_n}]", sf_dir, parts, rep)
-            # per-JOB load trace (start, after-lo, after-hi[, after-lo2]):
-            # a co-tenant burst confined to one job — invisible to the
-            # pair-start sample — shows exactly where it landed
-            job_loads = [load1, lo["load1_end"], hi["load1_end"]]
-            probes = [probe0, lo["probe"], hi["probe"]]
+                lo_mid = (t0 + time.time()) / 2
+            his = []
+            for _ in range(k):
+                t0 = time.time()
+                hi = scaling_job(f"local[{hi_n}]", sf_dir, parts, rep)
+                his.append((hi, (t0 + time.time()) / 2))
             if aba:
+                t0 = time.time()
                 lo2 = scaling_job(f"local[{lo_n}]", sf_dir, parts, rep)
-                lo_rate = (lo["docs_per_sec"] + lo2["docs_per_sec"]) / 2
-                lo["docs_per_sec_second_lo"] = lo2["docs_per_sec"]
-                lo["sec_second_lo"] = lo2["sec"]
-                job_loads.append(lo2["load1_end"])
-                probes.append(lo2["probe"])
-                prev_lo = lo2
-            else:
-                lo_rate = lo["docs_per_sec"]
-            eff = (hi["docs_per_sec"] / lo_rate) / factor
-            pairs.append((round(eff, 3), lo, hi, load1, _load1(), job_loads,
-                          probes))
+                lo2_mid = (t0 + time.time()) / 2
+                prev_lo = (lo2, lo2_mid)
+            for hi, hi_mid in his:
+                lo_p = dict(lo)
+                if aba:
+                    span = lo2_mid - lo_mid
+                    w = (min(1.0, max(0.0, (hi_mid - lo_mid) / span))
+                         if span > 0 else 0.5)
+                    lo_rate = (lo["docs_per_sec"] * (1 - w)
+                               + lo2["docs_per_sec"] * w)
+                    lo_p["docs_per_sec_second_lo"] = lo2["docs_per_sec"]
+                    lo_p["sec_second_lo"] = lo2["sec"]
+                    lo_p["lo_weight"] = round(w, 3)
+                    # per-JOB load trace (group-start, after-lo, after-hi,
+                    # after-lo2): a co-tenant burst confined to one job —
+                    # invisible to the group-start sample — shows exactly
+                    # where it landed (wall samples shared within a group)
+                    job_loads = [load1, lo["load1_end"], hi["load1_end"],
+                                 lo2["load1_end"]]
+                    probes = [probe0, lo["probe"], hi["probe"],
+                              lo2["probe"]]
+                else:
+                    lo_rate = lo["docs_per_sec"]
+                    job_loads = [load1, lo["load1_end"], hi["load1_end"]]
+                    probes = [probe0, lo["probe"], hi["probe"]]
+                eff = (hi["docs_per_sec"] / lo_rate) / factor
+                pairs.append((round(eff, 3), lo_p, hi, load1, _load1(),
+                              job_loads, probes, group_idx))
+            done += k
+            group_idx += 1
         pairs.sort(key=lambda p: p[0])
-        eff, lo, hi, _ld, _ld_end, _jl, _pr = pairs[len(pairs) // 2]
+        eff, lo, hi, _ld, _ld_end, _jl, _pr, _gi = pairs[len(pairs) // 2]
         out = {
             "metric": f"scaling_pipeline_sec_local{hi_n}",
             "value": hi["sec"],
@@ -470,6 +508,13 @@ def main() -> None:
             # trailing lo (see chaining note above)
             "chained_per_pair": [bool(p[1].get("chained_from_prev_pair"))
                                  for p in pairs],
+            # pairs sharing a group index share both lo walls (the
+            # BENCH_GROUP coupling disclosed above); lo_weight is the
+            # interpolation weight of the trailing wall at this hi's
+            # midpoint (0.5 = classic sandwich mean)
+            "group_k": group_k,
+            "group_per_pair": [p[7] for p in pairs],
+            "lo_weight_per_pair": [p[1].get("lo_weight") for p in pairs],
             "n_mentions": hi["n_mentions"],
             # per-phase wall at both levels for the MEDIAN pair, plus the
             # implied per-phase efficiency — pinpoints which stage of the
