@@ -14,6 +14,7 @@ two-cluster-size evidence; see BENCH/BASELINE.md).
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -424,11 +425,22 @@ def main() -> None:
         while done < tries:
             k = min(group_k, tries - done)
             gate_t0 = time.time()
+            load_entry = _load1()
             _wait_for_quiet(wait_load, probe_max=probe_max)
             gate_waited = time.time() - gate_t0
+            # chain-break budget: right after our OWN lo2 job, load1
+            # carries a residue of ~1.9 that is a ghost of finished work,
+            # decaying with the kernel's ~1-min time constant — a gate at
+            # 0.8 parks ~60·ln(load/0.8) s on a genuinely idle box. Only
+            # parking BEYOND that self-decay budget (+90 s slack for the
+            # 30 s sleep granularity) indicates a real co-tenant
+            # excursion the reused wall would predate.
+            decay_budget = 90.0
+            if wait_load and load_entry > wait_load:
+                decay_budget += 60.0 * math.log(load_entry / wait_load)
             load1 = _load1()
             probe0 = _cpu_probe()
-            if chain and prev_lo is not None and gate_waited < 60:
+            if chain and prev_lo is not None and gate_waited < decay_budget:
                 lo, lo_mid = dict(prev_lo[0]), prev_lo[1]
                 lo["chained_from_prev_pair"] = True
             else:
