@@ -440,7 +440,23 @@ def main() -> None:
                 decay_budget += 60.0 * math.log(load_entry / wait_load)
             load1 = _load1()
             probe0 = _cpu_probe()
-            if chain and prev_lo is not None and gate_waited < decay_budget:
+            # chain-break on DIRECT contention evidence (ADVICE r4): the
+            # decay budget above cannot distinguish self-residue from a
+            # co-tenant burst that ended just before the gate — but the
+            # reused wall carries its OWN trace. Refuse reuse when the
+            # prev lo2's post-job probe stretched beyond the quiet gate
+            # (co-tenant CPU theft measured at the wall itself) or its
+            # load1_end exceeded what the job's own cores plus the gate
+            # headroom explain (clean post-lo2 residue reads ~lo_n).
+            prev_lo_contended = False
+            if prev_lo is not None:
+                if probe_max and prev_lo[0].get("probe", 0.0) > probe_max:
+                    prev_lo_contended = True
+                if wait_load and (prev_lo[0].get("load1_end", 0.0)
+                                  > lo_n + 1.0 + wait_load):
+                    prev_lo_contended = True
+            if (chain and prev_lo is not None and not prev_lo_contended
+                    and gate_waited < decay_budget):
                 lo, lo_mid = dict(prev_lo[0]), prev_lo[1]
                 lo["chained_from_prev_pair"] = True
             else:
