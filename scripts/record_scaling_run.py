@@ -40,4 +40,14 @@ def main(n, stdout_file):
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]), sys.argv[2]))
+    usage = "usage: python scripts/record_scaling_run.py <N> <stdout-file>"
+    if len(sys.argv) != 3:
+        print(usage, file=sys.stderr)
+        sys.exit(2)
+    try:
+        run_n = int(sys.argv[1])
+    except ValueError:
+        print(f"<N> must be an integer, got {sys.argv[1]!r}\n{usage}",
+              file=sys.stderr)
+        sys.exit(2)
+    sys.exit(main(run_n, sys.argv[2]))

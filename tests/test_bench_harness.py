@@ -69,3 +69,36 @@ def test_probe_base_is_min_of_burst_and_memoized():
     # min-of-burst: the baseline can't exceed a fresh single probe by
     # much (it was the min over 7), allow generous co-tenant noise
     assert b1 <= bench._cpu_probe() * 1.5 + 0.05
+
+
+def test_record_scaling_run_validates_argv():
+    # the recording tool is part of the adjudication chain; bad argv must
+    # print usage to stderr (exit 2), not crash with a traceback
+    import subprocess
+
+    script = "scripts/record_scaling_run.py"
+    p = subprocess.run([sys.executable, script], capture_output=True,
+                       text=True, cwd="/root/repo")
+    assert p.returncode == 2
+    assert "usage:" in p.stderr
+    assert "Traceback" not in p.stderr
+    p = subprocess.run([sys.executable, script, "abc", "/tmp/nonexistent"],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert p.returncode == 2
+    assert "must be an integer" in p.stderr
+    assert "Traceback" not in p.stderr
+
+
+def test_chain_break_has_direct_evidence_conditions():
+    # contract: chaining must refuse to reuse a lo wall whose OWN trace
+    # showed contention (probe stretch beyond the gate, or load1_end
+    # beyond its own cores + gate headroom) — the decay budget alone
+    # cannot distinguish self-residue from a just-ended co-tenant burst
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "prev_lo_contended" in src
+    assert 'prev_lo[0].get("probe"' in src
+    assert 'prev_lo[0].get("load1_end"' in src
+    # and the reuse condition must consult the evidence flag
+    assert "not prev_lo_contended" in src
