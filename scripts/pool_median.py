@@ -46,6 +46,23 @@ def main():
     while statistics.median(pool_sorted + [0.85] * need) < 0.84:
         need += 1
     print(f"net pairs >= 0.84 still needed for pooled median >= 0.84: {need}")
+    # secondary view, disclosed alongside the all-runs pool in
+    # BENCH/BASELINE.md: the final-protocol pool (runs >= 36 — JIT
+    # warmup, 24g heap at both levels, chaining + groups) measures the
+    # protocol the round ends on, while the all-runs pool above keeps
+    # every completed run regardless of protocol vintage or ambient load
+    final = [
+        p
+        for name, pairs in runs
+        if int(re.search(r"run(\d+)", name).group(1)) >= 36
+        for p in pairs
+    ]
+    if final:
+        fmed = statistics.median(final)
+        print(
+            f"final-protocol pool (runs >= 36): {len(final)} pairs, "
+            f"median {fmed:.4f}"
+        )
     for name, pairs in runs[-3:]:
         print(f"  {name}: {sorted(pairs)} (median {statistics.median(pairs):.3f})")
     return 0
