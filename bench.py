@@ -115,6 +115,28 @@ def run_once(master: str, sf_dir: str, shuffle_partitions: int) -> dict:
     from dbpedia_spotlight_spark.plans import driver_queries as DQ
     from dbpedia_spotlight_spark.session import get_spark
 
+    # Bounded quiet gate for the OFFICIAL headline record (r3/r4 lesson:
+    # the shared host's co-tenants inflated individual readings 5x; r4's
+    # official run started at ambient load1 8 and read 26.2s for a
+    # pipeline that measures 21.8s quiet). Wait up to
+    # BENCH_HEADLINE_WAIT_MAX (default 300 s) for load1 below
+    # BENCH_HEADLINE_WAIT_LOAD (default 4), then proceed regardless —
+    # the gate trades bounded wall-clock for measuring the plan.
+    # BENCH_HEADLINE_WAIT_LOAD=0 disables.
+    gate_t0 = time.time()
+    _wait_for_quiet(
+        float(os.environ.get("BENCH_HEADLINE_WAIT_LOAD", "4")),
+        max_wait_sec=float(os.environ.get("BENCH_HEADLINE_WAIT_MAX",
+                                          "300")),
+    )
+    gate_waited = round(time.time() - gate_t0, 1)
+    # clean ambient evidence: the per-query load1 samples below are taken
+    # WHILE our own queries keep all cores busy (self-load dominates), so
+    # the adjudicable co-tenant signal is the pre-session load/probe
+    # (nothing of ours running yet) and the post-stop probe (python
+    # workers and JVM threads gone)
+    load_presession = _load1()
+    probe_presession = _cpu_probe()
     spark = get_spark(
         app_name=f"bench-{master}",
         master=master,
@@ -144,12 +166,18 @@ def run_once(master: str, sf_dir: str, shuffle_partitions: int) -> dict:
     total = round(time.time() - t_all, 3)
     load_end = _load1()
     spark.stop()
+    probe_end = _cpu_probe()
     return {
         "total_sec": total,
         "queries": timings,
         "n_docs": n_docs,
         "ambient_load1": loads,
         "ambient_load1_end": load_end,
+        "gate_waited_sec": gate_waited,
+        "ambient_load1_presession": load_presession,
+        "cpu_probe_presession": probe_presession,
+        "cpu_probe_end": probe_end,
+        "cpu_probe_base": _probe_base(),
     }
 
 
@@ -557,10 +585,8 @@ def main() -> None:
             },
         }
     else:
-        # headline profile honors the quiet-window gate too (default off
-        # here — the driver's official run should start immediately; set
-        # BENCH_WAIT_LOAD to park for a quiet window first)
-        _wait_for_quiet(float(os.environ.get("BENCH_WAIT_LOAD", "0")))
+        # the bounded quiet gate + pre/post ambient probes live inside
+        # run_once (BENCH_HEADLINE_WAIT_LOAD / _MAX control the gate)
         res = run_once(f"local[{cpus}]", sf_dir, int(cpus))
         out = {
             "metric": "headline_total_sec",
@@ -571,6 +597,15 @@ def main() -> None:
             "docs_per_sec": round(res["n_docs"] / res["total_sec"], 2),
             "ambient_load1": res["ambient_load1"],
             "ambient_load1_end": res["ambient_load1_end"],
+            "gate_waited_sec": res["gate_waited_sec"],
+            "ambient_load1_presession": res["ambient_load1_presession"],
+            # single-thread probe wall sec before the session and after
+            # spark.stop(): the per-query load1 above is self-contaminated
+            # (our own 32 threads), so co-tenant pressure is adjudicated
+            # from these two bracketing samples as stretch vs probe_base
+            "cpu_probe_presession": res["cpu_probe_presession"],
+            "cpu_probe_end": res["cpu_probe_end"],
+            "cpu_probe_base": res["cpu_probe_base"],
         }
     print(json.dumps(out))
 

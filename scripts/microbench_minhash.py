@@ -141,14 +141,35 @@ def run_one(variant: str, n_cores: int, sf_dir: str, replicate: int,
     from dbpedia_spotlight_spark.session import get_spark
 
     extra = {}
+    want_gb = 8.0
     if "heap24" in variant:
         extra["spark.driver.memory"] = "24g"
+        want_gb = 24.0
     spark = get_spark(
         app_name=f"mb-{variant}-{n_cores}",
         master=f"local[{n_cores}]",
         shuffle_partitions=parts,
         extra_conf=extra or None,
     )
+    # Fail LOUDLY if the JVM heap is not what this variant's label claims.
+    # The py4j gateway persists across spark.stop() within one Python
+    # process, so spark.driver.memory on any session after the first is
+    # silently ignored — a 'heap24' run after a 'baseline' run would
+    # measure an 8g heap under a 24g label. Runtime.maxMemory() reads the
+    # ACTUAL -Xmx (the conf would still claim the requested value), so
+    # this check cannot be fooled by gateway reuse. maxMemory reports
+    # slightly under -Xmx (survivor-space accounting) — accept 75-110%.
+    actual_gb = (spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+                 .maxMemory()) / (1 << 30)
+    if not (0.75 * want_gb <= actual_gb <= 1.10 * want_gb):
+        spark.stop()
+        raise RuntimeError(
+            f"variant {variant!r} requested a {want_gb:g}g driver heap but "
+            f"the JVM reports maxMemory={actual_gb:.2f}g — the py4j "
+            "gateway was reused from an earlier session with a different "
+            "heap. Run each variant in its own process (the default "
+            "multi-variant invocation now does)."
+        )
     docs, n = build_docs(spark, sf_dir, replicate, parts)
     # warm python workers outside the timed window
     if "udfsig" in variant:
@@ -177,6 +198,36 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 120
     variants = sys.argv[2:] or ["baseline", "heap24", "udfsig"]
+    if len(variants) > 1:
+        # One fresh Python process per variant: the py4j gateway persists
+        # across spark.stop(), so a second variant in the same process
+        # inherits the first's JVM heap whatever its own conf requests
+        # (run_one also asserts the actual heap, so a mislabeled run
+        # fails loudly instead of recording wrong numbers).
+        import subprocess
+
+        results = []
+        for v in variants:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 str(replicate), v],
+                capture_output=True, text=True,
+            )
+            sys.stderr.write(proc.stderr)
+            row = None
+            for line in proc.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{") and "summary" not in line:
+                    print(line, flush=True)
+                    row = json.loads(line)
+            if proc.returncode != 0 or row is None:
+                raise RuntimeError(
+                    f"variant {v!r} subprocess failed "
+                    f"(rc={proc.returncode})"
+                )
+            results.append(row)
+        print(json.dumps({"summary": results}), flush=True)
+        return
     lo_n, hi_n = 2, 8
     parts = hi_n * 4
     results = []
