@@ -30,6 +30,37 @@ def _dot(a, b):
     )
 
 
+# -- bit-exact numpy twins of the JVM fold expressions --------------------
+#
+# cosine_expr's dot/norm are LEFT FOLDS: ((0.0 + p_0) + p_1) + ... in array
+# index order, each step one IEEE-754 double add. A BLAS matmul uses
+# pairwise/SIMD summation — different rounding in the last bits, which can
+# flip a row_number tie and change a top-k result. These helpers accumulate
+# dimension-by-dimension in index order instead, so every scalar goes
+# through the exact same sequence of IEEE ops as the JVM fold (products
+# then left-to-right adds) while staying vectorized across pairs. The
+# correctness gates hash-verify the outputs, so rerank kernels built on
+# these are bit-identical to the expression plan they replace.
+
+def _seq_gram(xq: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(len(xq), len(x)) matrix of dot products, JVM-fold order."""
+    out = np.zeros((xq.shape[0], x.shape[0]))
+    tmp = np.empty_like(out)
+    for j in range(x.shape[1]):
+        np.multiply(xq[:, j, None], x[None, :, j], out=tmp)
+        out += tmp
+    return out
+
+
+def _seq_sqnorm(x: np.ndarray) -> np.ndarray:
+    """Per-row sum of squares, JVM-fold order."""
+    acc = np.zeros(x.shape[0])
+    for j in range(x.shape[1]):
+        v = x[:, j]
+        acc += v * v
+    return acc
+
+
 def _norm(a):
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
@@ -50,24 +81,80 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query (self excluded when the
-    ids collide). Queries are broadcast; corpus streams once."""
+    ids collide). Queries are broadcast; corpus streams once.
+
+    The cosine math runs in one Arrow kernel per corpus batch (the query
+    matrix is an sc.broadcast — the same driver-side collect a broadcast
+    join performs, bounded by the 'queries are broadcast-sized' contract),
+    using the JVM-fold-order helpers above so scores are bit-identical to
+    the expression plan this replaces. Each batch emits only its local
+    top-k per query — the global window then ranks k·m·n_batches skinny
+    rows instead of m·n scored pairs. (Per-batch top-k under the same
+    (cosine desc, id asc) total order is lossless: a global top-k row is
+    a fortiori in its own batch's top-k.)"""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = corpus.sparkSession
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
+    ).toPandas()
+    qids = q["query_id"].to_numpy()
+    qmat = (
+        np.stack(q["qv"].to_numpy()).astype(np.float64, copy=False)
+        if len(q) else np.zeros((0, 0))
     )
+    q_bc = spark.sparkContext.broadcast((qids, qmat))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
-        )
+    id_type = c.schema["neighbor_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("cosine", DoubleType()),
+        ]
     )
+
+    def batch_topk(batches):
+        bqids, bqmat = q_bc.value
+        if len(bqids) == 0:
+            return
+        qn = np.sqrt(_seq_sqnorm(bqmat))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            order = np.argsort(pdf["neighbor_id"].to_numpy(), kind="stable")
+            ids = pdf["neighbor_id"].to_numpy()[order]
+            x = np.stack(pdf["cv"].to_numpy()[order]).astype(
+                np.float64, copy=False
+            )
+            xn = np.sqrt(_seq_sqnorm(x))
+            g = _seq_gram(bqmat, x)
+            denom = qn[:, None] * xn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, g / denom, 0.0)
+            invalid = bqids[:, None] == ids[None, :]
+            key = np.where(invalid, -np.inf, cos)
+            kk = min(k, len(ids))
+            # stable argsort of -key over id-ascending columns == the
+            # window's (cosine DESC, neighbor_id ASC); invalid cells sit
+            # at -inf, strictly after every valid score
+            top = np.argsort(-key, axis=1, kind="stable")[:, :kk]
+            valid = ~np.take_along_axis(invalid, top, axis=1).ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(bqids, kk)[valid],
+                    "neighbor_id": ids[top].ravel()[valid],
+                    "cosine": np.take_along_axis(cos, top, axis=1).ravel()[
+                        valid
+                    ],
+                }
+            )
+
+    scored = c.mapInPandas(batch_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -418,7 +505,25 @@ def lsh_topk(
     SQL-expressible for the correctness oracle).
 
     dim: embedding dimensionality. Pass it when known (it's fixed by the
-    upstream embedding model) — the fallback sniffs one row."""
+    upstream embedding model) — the fallback sniffs one row.
+
+    The in-bucket rerank is ONE applyInPandas kernel per bucket instead
+    of a bucket self-join + window: the join materialized ~n²/2^bits
+    scored rows, each paying three interpreted fold expressions (dot and
+    BOTH norms recomputed per pair), then shuffled them all again for
+    row_number. The kernel shuffles each row once (groupBy bucket),
+    computes norms once per row, scores a chunk×bucket block at a time
+    with the JVM-fold-order helpers (bit-identical scores — see
+    _seq_gram), and emits only the k best per query. Per-task memory is
+    O(bucket·dim + chunk·bucket); a single bucket must fit one task,
+    which the old quadratic join required a fortiori."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
     spark = corpus.sparkSession
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
@@ -437,25 +542,55 @@ def lsh_topk(
             "bucket", lsh_bucket_udf(planes_bc)(F.col("v"))
         )
 
-    a = bucketed.select(
-        F.col("_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    id_type = base.schema["_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("cosine", DoubleType()),
+            StructField("rank", IntegerType()),
+        ]
     )
-    b = bucketed.select(
-        F.col("_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
-    )
-    scored = (
-        a.join(b, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+    chunk = 2048
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        x = np.stack(pdf["v"].to_numpy()[order]).astype(
+            np.float64, copy=False
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+        nrm = np.sqrt(_seq_sqnorm(x))
+        frames = []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            g = _seq_gram(x[lo:hi], x)
+            denom = nrm[lo:hi, None] * nrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, g / denom, 0.0)
+            invalid = ids[lo:hi, None] == ids[None, :]
+            key = np.where(invalid, -np.inf, cos)
+            kk = min(k, n)
+            # stable argsort of -key over id-ascending columns == the
+            # window's (cosine DESC, neighbor_id ASC); invalid (self)
+            # cells sit at -inf, strictly after every valid score, so
+            # positions map 1:1 to row_number over the filtered rows
+            top = np.argsort(-key, axis=1, kind="stable")[:, :kk]
+            valid = ~np.take_along_axis(invalid, top, axis=1).ravel()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids[lo:hi], kk)[valid],
+                        "neighbor_id": ids[top].ravel()[valid],
+                        "cosine": np.take_along_axis(
+                            cos, top, axis=1
+                        ).ravel()[valid],
+                        "rank": np.tile(
+                            np.arange(1, kk + 1, dtype=np.int32), hi - lo
+                        )[valid],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return bucketed.groupBy("bucket").applyInPandas(bucket_topk, out_schema)

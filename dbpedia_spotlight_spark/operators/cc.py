@@ -76,32 +76,41 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
     """Collected union-find with min-member component ids — the small-side
-    fast path. Exact same contract as the distributed loop."""
-    spark = edges.sparkSession
-    parent: dict[str, str] = {}
+    fast path. Exact same contract as the distributed loop.
 
-    def find(x: str) -> str:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    pdf = edges.toPandas()  # one Arrow transfer (edge count is gated by
-    # DRIVER_CC_MAX_EDGES; toLocalIterator paid per-batch RPC overhead)
-    for a, b in zip(pdf["src"], pdf["dst"]):
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+    Vectorized: the per-edge Python loop (2 dict inserts + 2 amortized
+    finds per edge — ~6 s at 10⁶ edges, all single-thread driver time)
+    is replaced by numpy min-label hooking with full pointer-doubling
+    compression per round. Keys factorize SORTED, so the min label index
+    IS the lexicographically smallest member; rounds are O(log n) even
+    on chains (pointer doubling), each a handful of C-speed array ops."""
+    import numpy as np
     import pandas as pd
 
-    nodes = list(parent)
+    spark = edges.sparkSession
+    pdf = edges.toPandas()  # one Arrow transfer (edge count is gated by
+    # DRIVER_CC_MAX_EDGES; toLocalIterator paid per-batch RPC overhead)
+    codes, uniq = pd.factorize(
+        pd.concat([pdf["src"], pdf["dst"]], ignore_index=True), sort=True
+    )
+    m = len(pdf)
+    src, dst = codes[:m], codes[m:]
+    p = np.arange(len(uniq))
+    while True:
+        ps, pdst = p[src], p[dst]
+        changed = bool((ps != pdst).any())
+        # hook the larger current label's root toward the smaller label;
+        # every write points strictly downward, so no cycles form
+        np.minimum.at(p, np.maximum(ps, pdst), np.minimum(ps, pdst))
+        while True:  # full path compression by pointer doubling
+            pp = p[p]
+            if np.array_equal(pp, p):
+                break
+            p = pp
+        if not changed:
+            break
     out = pd.DataFrame(
-        {"mention_key": nodes, "cluster_id": [find(n) for n in nodes]}
+        {"mention_key": uniq, "cluster_id": uniq[p]}
     )
     # pandas input takes the Arrow serialization path (a row-tuple list
     # would pickle per element)

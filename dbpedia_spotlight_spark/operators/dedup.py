@@ -205,6 +205,72 @@ def minhash_signature_hashes_udf(n: int, num_hashes: int):
     return sig_udf
 
 
+# per-worker shingle -> md5-digest-tuple memo for the md5 signature
+# kernel (see minhash_signature_md5_udf); bounded like the simhash cache
+_MINHASH_DIGEST_CACHE: dict = {}
+_MINHASH_CACHE_MAX = 1 << 18
+
+
+def minhash_signature_md5_udf(n: int, num_hashes: int):
+    """Full md5-family MinHash signature per document in ONE Arrow
+    kernel, ArrayType(StringType()) of length num_hashes — bit-identical
+    to the explode + groupBy(min(md5(seed|shingle))) plan it replaces
+    (same shingles as word_shingles_udf, same seed-prefixed md5 over the
+    same UTF-8 bytes, and min over DIGEST bytes == min over lowercase
+    hex because byte→hex is order-preserving).
+
+    Why: the exploded md5 plan shipped every shingle STRING through
+    Arrow (~30 bytes each), allocated a JVM row per shingle, ran 8
+    concat+md5+hex expressions per row, and paid a groupBy exchange to
+    re-assemble signatures. This kernel ships text in / 8 hex strings
+    per doc out, hashes with CPython's C md5, and leaves the band-bucket
+    join as the plan's only shuffle — the same shape the perm64 family
+    already has. Equivalence is pinned by tests and the sf0.01 DuckDB
+    gate (which hash-verifies the md5 family end to end)."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    split = re.compile(r"[^a-z0-9]+")
+    prefixes = [f"{i}|".encode() for i in range(num_hashes)]
+
+    @pandas_udf(ArrayType(StringType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        # per-worker shingle -> digest-tuple memo (same discipline as
+        # _SIMHASH_TOKEN_CACHE): corpora repeat shingles heavily across
+        # documents, so the 8 digests run once per distinct shingle seen
+        # by this worker (measured 2x on the sf1.0 corpus); bounded and
+        # cleared on overflow
+        cache = _MINHASH_DIGEST_CACHE
+        out = []
+        for t in texts:
+            toks = [w for w in split.split(t.lower()) if w] if t else []
+            if len(toks) >= n:
+                shingles = dict.fromkeys(
+                    " ".join(toks[i: i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+            else:
+                shingles = (" ".join(toks),)
+            if len(cache) + len(shingles) > _MINHASH_CACHE_MAX:
+                cache.clear()
+            digs = []
+            for s in shingles:
+                d = cache.get(s)
+                if d is None:
+                    b = s.encode()
+                    d = tuple(md5(p + b).digest() for p in prefixes)
+                    cache[s] = d
+                digs.append(d)
+            out.append([min(col).hex() for col in zip(*digs)])
+        return pd.Series(out)
+
+    return sig_udf
+
+
 def minhash_signature(shingles_col, num_hashes: int = 16):
     """array<string> of per-seed minima of md5(seed || shingle).
 
@@ -263,7 +329,7 @@ def minhash_lsh_candidates(
         "xxhash64" at local[2]/local[8] on the sf0.1 corpus replicated
         120x, candidate counts within 0.4%. Use this at scale.
     """
-    if hash_fn not in ("md5", "xxhash64", "perm64"):
+    if hash_fn not in ("md5", "md5_exploded", "xxhash64", "perm64"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     rows_per_band = num_hashes // bands
     if hash_fn == "perm64":
@@ -277,12 +343,33 @@ def minhash_lsh_candidates(
             ).alias("sig"),
         )
         return _band_join(sig, bands, rows_per_band, _bucket_xxhash64)
+    if hash_fn == "md5":
+        # same narrow single-kernel shape for the md5 oracle-twin family
+        # (see minhash_signature_md5_udf — bit-identical signatures, no
+        # shingle explode). The exploded plan's groupBy(_id) also MERGED
+        # rows sharing an id (min over the union of their shingles); the
+        # per-seed elementwise min below reproduces that exactly (min is
+        # associative), map-side combined to one tiny row per doc.
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature_md5_udf(shingle_n, num_hashes)(
+                F.col(text_col)
+            ).alias("sig"),
+        )
+        sig = sig.groupBy("_id").agg(
+            F.array(
+                *[F.min(F.col("sig")[i]) for i in range(num_hashes)]
+            ).alias("sig")
+        )
+        return _band_join(sig, bands, rows_per_band, _bucket_md5)
     # Signatures via explode + aggregating mins rather than the inline
     # array expression: Catalyst does no common-subexpression elimination
     # through lambda functions, so inlining re-evaluates the shingle +
     # hash tree once per band reference (~32x). The groupBy computes each
     # hash exactly once and map-side combine reduces the shuffle to one
     # signature row per document — also the right shape at 10^12 rows.
+    # ("md5_exploded" keeps the SQL-shaped md5 plan runnable — the
+    # equivalence fixture the kernel path is tested against.)
     shingler = (
         word_shingle_hashes_udf(shingle_n)
         if hash_fn == "xxhash64"
@@ -521,6 +608,10 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
         bounds = np.append(starts_arr[1:], len(flat))
         seg_len = bounds - starts_arr
         vals.fill(0)
+        # benchmarked alternative (r6): one unpackbits + 2-D reduceat +
+        # packbits round is 4.5x SLOWER than these 64 contiguous 1-D
+        # passes (reduceat's axis=0 path; measured 0.42s vs 0.09s per
+        # 544k-token batch) — kept as-is deliberately
         for j in range(64):
             bit_j = ((hashes >> np.uint64(j)) & np.uint64(1)).astype(
                 np.int64
@@ -544,6 +635,24 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="Int64")
 
 
+# 16-bit population-count table for the vectorized hamming kernel
+_POP16 = None
+
+
+def _pop16():
+    global _POP16
+    if _POP16 is None:
+        import numpy as np
+
+        t = np.arange(65536, dtype=np.uint16)
+        c = np.zeros(65536, dtype=np.uint8)
+        while t.any():
+            c += (t & 1).astype(np.uint8)
+            t >>= 1
+        _POP16 = c
+    return _POP16
+
+
 def simhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -553,12 +662,35 @@ def simhash_dedup(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on bit-bands (a pair within the
     hamming threshold shares at least one of n_blocks 16-bit bands by
-    pigeonhole), verify hamming distance with bit_count."""
+    pigeonhole), verify hamming distance within each band bucket.
+
+    The per-bucket verification runs in a numpy kernel instead of a
+    bucket self-join: correlated corpora concentrate near-identical
+    simhashes into a few buckets (measured sf1.0 dup corpus: 77M joined
+    pair rows, one 5.8k-row bucket alone contributing 17M — a single
+    join key AQE's skew split cannot break). Rows are hash-repartitioned
+    by (band, bucket) and each task segments its partition by bucket in
+    one lexsort, then XOR+popcounts a chunk×bucket block at a time and
+    emits only pairs within the hamming threshold — the downstream
+    distinct sees survivors, not candidates. (mapInPandas over
+    repartitioned data, not groupBy().applyInPandas: most buckets hold
+    1-2 rows, and ~260k per-group Python calls cost more than the old
+    join — measured 9.9s vs 6.3s — while segment bounds inside one
+    partition frame are nearly free.) bit_count semantics, the
+    id_a < id_b orientation, and the distinct-then-threshold contract
+    (hamming is a function of the pair, so filter and distinct commute)
+    are unchanged — the gate hash-verifies this path against the same
+    oracle."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     h = df.select(
         F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("h")
     )
     width = 64 // n_blocks
-    banded = h.select(
+    # null hashes never matched the equi-join (null keys drop); filter
+    # them before grouping so they do not form a spurious null bucket
+    banded = h.filter(F.col("h").isNotNull()).select(
         "_id",
         "h",
         F.explode(
@@ -575,21 +707,89 @@ def simhash_dedup(
             )
         ).alias("bb"),
     ).select("_id", "h", "bb.band", "bb.bucket")
-    a = banded.select(
-        F.col("_id").alias("id_a"), F.col("h").alias("h_a"), "band", "bucket"
+
+    id_type = banded.schema["_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("hamming", IntegerType()),
+        ]
     )
-    b = banded.select(
-        F.col("_id").alias("id_b"), F.col("h").alias("h_b"), "band", "bucket"
-    )
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias(
-                "hamming"
-            ),
+    chunk = 1024
+    thr = hamming_threshold
+
+    def partition_pairs(batches):
+        pop = _pop16()
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if not len(pdf):
+            return
+        band = pdf["band"].to_numpy()
+        bucket = pdf["bucket"].to_numpy()
+        all_ids = pdf["_id"].to_numpy()
+        # (n, 4) little-endian 16-bit fields of each hash: hamming sums
+        # per field through the popcount table, with no 64-bit xor
+        # materialization, and the band's own field(s) — identically
+        # zero inside a bucket — skipped outright
+        all_h16 = (
+            np.ascontiguousarray(np.asarray(pdf["h"], dtype=np.int64))
+            .view(np.uint16)
+            .reshape(-1, 4)
         )
+        # segment the partition by (band, bucket); ids ascending within
+        # each segment so the id-value mask below emits each cross-id
+        # pair exactly once (ids can repeat — the join's id_a < id_b
+        # kept duplicate-id row pairs out but scored each row separately)
+        order = np.lexsort((all_ids, bucket, band))
+        band, bucket = band[order], bucket[order]
+        all_ids, all_h16 = all_ids[order], all_h16[order]
+        seg = np.flatnonzero(
+            np.r_[True, (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])]
+        )
+        seg = np.append(seg, len(band))
+        frames = []
+        for s, e in zip(seg[:-1], seg[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            ids, h16 = all_ids[s:e], all_h16[s:e]
+            if width % 16 == 0:
+                f0 = int(band[s]) * width // 16
+                fields = [
+                    f for f in range(4)
+                    if not f0 <= f < f0 + width // 16
+                ]
+            else:
+                fields = [0, 1, 2, 3]
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                if fields:
+                    ham = pop[h16[lo:hi, None, fields[0]]
+                              ^ h16[None, :, fields[0]]]
+                    for f in fields[1:]:
+                        ham += pop[h16[lo:hi, None, f] ^ h16[None, :, f]]
+                else:  # degenerate n_blocks=1: bucket == hash, hamming 0
+                    ham = np.zeros((hi - lo, n), dtype=np.uint8)
+                # uint8 sums cannot overflow (<= 64); promote only the
+                # few survivors to the gate's int32 hamming
+                rows, cols = np.nonzero(
+                    (ham <= thr) & (ids[None, :] > ids[lo:hi, None])
+                )
+                if len(rows):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids[rows + lo],
+                                "id_b": ids[cols],
+                                "hamming": ham[rows, cols].astype(np.int32),
+                            }
+                        )
+                    )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return (
+        banded.repartition("band", "bucket")
+        .mapInPandas(partition_pairs, out_schema)
         .distinct()
-        .filter(F.col("hamming") <= hamming_threshold)
     )
