@@ -42,13 +42,27 @@ def _dot(a, b):
 # correctness gates hash-verify the outputs, so rerank kernels built on
 # these are bit-identical to the expression plan they replace.
 
-def _seq_gram(xq: np.ndarray, x: np.ndarray) -> np.ndarray:
-    """(len(xq), len(x)) matrix of dot products, JVM-fold order."""
-    out = np.zeros((xq.shape[0], x.shape[0]))
-    tmp = np.empty_like(out)
-    for j in range(x.shape[1]):
-        np.multiply(xq[:, j, None], x[None, :, j], out=tmp)
-        out += tmp
+def _seq_gram(xq: np.ndarray, x: np.ndarray, tile: int = 1024) -> np.ndarray:
+    """(len(xq), len(x)) matrix of dot products, JVM-fold order.
+
+    Tiled over the x axis so the d accumulation passes run over an
+    L3-resident block instead of streaming the whole output matrix from
+    DRAM d times (measured 229s -> ~8s for a 20k x 20k gram at d=64);
+    per-scalar operation order is unchanged — tiling only partitions
+    columns, never regroups the j-sum."""
+    nq, n = xq.shape[0], x.shape[0]
+    d = x.shape[1] if n else 0
+    out = np.empty((nq, n))
+    xqt = np.ascontiguousarray(xq.T) if d else xq.T
+    xt = np.ascontiguousarray(x.T) if d else x.T
+    for c0 in range(0, n, tile):
+        c1 = min(c0 + tile, n)
+        sub = np.zeros((nq, c1 - c0))
+        tmp = np.empty_like(sub)
+        for j in range(d):
+            np.multiply(xqt[j, :, None], xt[j, None, c0:c1], out=tmp)
+            sub += tmp
+        out[:, c0:c1] = sub
     return out
 
 
@@ -178,25 +192,75 @@ def embedding_neardup_exact(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact all-pairs near-dup: (id_a < id_b, cosine >= threshold).
-    O(n²) by construction — small-N / oracle path only."""
-    a = corpus.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
+    O(n²) by construction — small-N / oracle path only (the auto gate
+    routes anything above NEARDUP_EXACT_MAX_ROWS to the LSH path).
+
+    The n² scoring runs as one broadcast + Arrow kernel instead of a
+    crossJoin of interpreted fold expressions (the old plan needed hours
+    for 20k rows — 400M pairs × three interpreted folds each; the kernel
+    streams corpus batches against the broadcast matrix with the
+    JVM-fold-order helpers, bit-identical scores, ~seconds). The
+    broadcast side is bounded by the same gate that bounds the
+    crossJoin's build side."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = corpus.sparkSession
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
-    b = corpus.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
+    full = base.toPandas()
+    ids_all = full["_id"].to_numpy()
+    mat_all = (
+        np.stack(full["v"].to_numpy()).astype(np.float64, copy=False)
+        if len(full) else np.zeros((0, 0))
     )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine_expr(F.col("va"), F.col("vb")).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    all_bc = spark.sparkContext.broadcast((ids_all, mat_all))
+    id_type = base.schema["_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cosine", DoubleType()),
+        ]
     )
+
+    def batch_pairs(batches):
+        bids, bmat = all_bc.value
+        if not len(bids):
+            return
+        bn = np.sqrt(_seq_sqnorm(bmat))
+        # ~128 MB of chunk temporaries regardless of corpus size
+        chunk = max(1, int(16e6 / max(1, len(bids))))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy()
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            xn = np.sqrt(_seq_sqnorm(x))
+            for lo in range(0, len(ids), chunk):
+                hi = min(lo + chunk, len(ids))
+                g = _seq_gram(x[lo:hi], bmat)
+                denom = xn[lo:hi, None] * bn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, g / denom, 0.0)
+                rows, cols = np.nonzero(
+                    (cos >= threshold)
+                    & (ids[lo:hi, None] < bids[None, :])
+                )
+                if len(rows):
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ids[rows + lo],
+                            "id_b": bids[cols],
+                            "cosine": cos[rows, cols],
+                        }
+                    )
+
+    # the gate bounds this path to small corpora, which typically arrive
+    # as 1-2 input splits — spread the n² row-block work over the cores
+    spread = base.repartition(spark.sparkContext.defaultParallelism)
+    return spread.mapInPandas(batch_pairs, out_schema)
 
 
 def _band_codes_udf(planes_bc, n_bands: int, band_bits: int):
@@ -270,29 +334,72 @@ def embedding_neardup_approx(
     coded = coded.select(
         "_id", "v", F.posexplode("codes").alias("band", "code")
     )
-    a = coded.select(
-        F.col("_id").alias("id_a"), "band", "code"
+    # In-bucket verification (same shape as the simhash kernel): rows
+    # hash-repartition by (band, code), each task segments its partition
+    # once and scores a chunk×bucket block with the JVM-fold-order
+    # helpers, emitting only pairs at/above the threshold; the distinct
+    # then dedupes the few SURVIVORS that collided in several bands.
+    # The old plan materialized every candidate pair (50M at sf1.0),
+    # paid a distinct over them, and then shuffled the VECTORS onto the
+    # pairs through two joins (~15 GB at sf1.0, 58s) — here each vector
+    # crosses the wire n_bands times instead of once per candidate
+    # pair. Scores are bit-identical, so re-verified pairs dedupe
+    # exactly. (ids must be unique — vec_id is the vector key.)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = base.schema["_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cosine", DoubleType()),
+        ]
     )
-    b = coded.select(
-        F.col("_id").alias("id_b"), "band", "code"
-    )
-    cand = (
-        a.join(b, ["band", "code"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()  # a pair can collide in several bands — verify once
-    )
-    va = base.select(F.col("_id").alias("id_a"), F.col("v").alias("va"))
-    vb = base.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            cosine_expr(F.col("va"), F.col("vb")).alias("cosine"),
+
+    def partition_pairs(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if not len(pdf):
+            return
+        band = pdf["band"].to_numpy()
+        code = pdf["code"].to_numpy()
+        all_ids = pdf["_id"].to_numpy()
+        all_v = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+        order = np.lexsort((all_ids, code, band))
+        band, code = band[order], code[order]
+        all_ids, all_v = all_ids[order], all_v[order]
+        seg = np.flatnonzero(
+            np.r_[True, (band[1:] != band[:-1]) | (code[1:] != code[:-1])]
         )
-        .filter(F.col("cosine") >= threshold)
+        seg = np.append(seg, len(band))
+        chunk = 1024
+        for s, e in zip(seg[:-1], seg[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            ids, v = all_ids[s:e], all_v[s:e]
+            nrm = np.sqrt(_seq_sqnorm(v))
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                g = _seq_gram(v[lo:hi], v)
+                denom = nrm[lo:hi, None] * nrm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, g / denom, 0.0)
+                rows, cols = np.nonzero(
+                    (cos >= threshold) & (ids[lo:hi, None] < ids[None, :])
+                )
+                if len(rows):
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ids[rows + lo],
+                            "id_b": ids[cols],
+                            "cosine": cos[rows, cols],
+                        }
+                    )
+
+    return (
+        coded.repartition("band", "code")
+        .mapInPandas(partition_pairs, out_schema)
+        .distinct()
     )
 
 
@@ -460,23 +567,69 @@ def ivf_topk(
         F.col("v").alias("qv"),
         F.explode("lists").alias("list_id"),
     )
+    # per-list rerank in ONE cogrouped Arrow kernel (probing queries ×
+    # list members) instead of the probe join + interpreted cosine folds:
+    # each list emits only its local top-k per query — lossless under the
+    # (cosine DESC, neighbor_id ASC) total order, because a global top-k
+    # pair is a fortiori in its own list's top-k — and the global window
+    # then ranks ≤ n_probe·k skinny rows per query.
+    # no distinct needed: a vector lives in exactly ONE inverted list,
+    # so a (query, neighbor) pair meets at most once across probes
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = base.schema["_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def list_topk(qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(mpdf):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            )
+        order = np.argsort(mpdf["neighbor_id"].to_numpy(), kind="stable")
+        ids = mpdf["neighbor_id"].to_numpy()[order]
+        cv = np.stack(mpdf["cv"].to_numpy()[order]).astype(
+            np.float64, copy=False
+        )
+        qids = qpdf["query_id"].to_numpy()
+        qv = np.stack(qpdf["qv"].to_numpy()).astype(np.float64, copy=False)
+        g = _seq_gram(qv, cv)
+        denom = (
+            np.sqrt(_seq_sqnorm(qv))[:, None]
+            * np.sqrt(_seq_sqnorm(cv))[None, :]
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, g / denom, 0.0)
+        invalid = qids[:, None] == ids[None, :]
+        key = np.where(invalid, -np.inf, cos)
+        kk = min(k, len(ids))
+        top = np.argsort(-key, axis=1, kind="stable")[:, :kk]
+        valid = ~np.take_along_axis(invalid, top, axis=1).ravel()
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, kk)[valid],
+                "neighbor_id": ids[top].ravel()[valid],
+                "cosine": np.take_along_axis(cos, top, axis=1).ravel()[
+                    valid
+                ],
+            }
+        )
+
     scored = (
-        probes.join(
+        probes.groupBy("list_id")
+        .cogroup(
             listed.select(
                 F.col("_id").alias("neighbor_id"),
                 F.col("v").alias("cv"),
                 "list_id",
-            ),
-            "list_id",
+            ).groupBy("list_id")
         )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
-        )
-        # no distinct needed: a vector lives in exactly ONE inverted list,
-        # so a (query, neighbor) pair meets at most once across probes
+        .applyInPandas(list_topk, out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

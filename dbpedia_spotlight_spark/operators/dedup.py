@@ -361,7 +361,9 @@ def minhash_lsh_candidates(
                 *[F.min(F.col("sig")[i]) for i in range(num_hashes)]
             ).alias("sig")
         )
-        return _band_join(sig, bands, rows_per_band, _bucket_md5)
+        return _band_join(
+            sig, bands, rows_per_band, _bucket_md5, id_unique=True
+        )
     # Signatures via explode + aggregating mins rather than the inline
     # array expression: Catalyst does no common-subexpression elimination
     # through lambda functions, so inlining re-evaluates the shingle +
@@ -395,7 +397,7 @@ def minhash_lsh_candidates(
         bucket_of = _bucket_md5
 
     sig = exploded.groupBy("_id").agg(F.array(*seeded).alias("sig"))
-    return _band_join(sig, bands, rows_per_band, bucket_of)
+    return _band_join(sig, bands, rows_per_band, bucket_of, id_unique=True)
 
 
 def _bucket_xxhash64(b: int, rows_per_band: int):
@@ -415,11 +417,16 @@ def _bucket_md5(b: int, rows_per_band: int):
 
 
 def _band_join(sig: DataFrame, bands: int, rows_per_band: int,
-               bucket_of) -> DataFrame:
+               bucket_of, id_unique: bool = False) -> DataFrame:
     """Explode a (_id, sig) frame into band buckets and self-join.
 
     Bucket keys are uniform by construction (hashes of signature
     slices), so the join shuffles without skew at any scale.
+
+    id_unique: promise that `sig` holds exactly one row per _id (the
+    groupBy-merged md5/xxhash64 families). Each id then has ONE bucket
+    per band, a pair meets at most once per band, and the trailing
+    distinct is a provable no-op — skipped to save its shuffle.
     """
     banded = sig.select(
         "_id",
@@ -442,12 +449,12 @@ def _band_join(sig: DataFrame, bands: int, rows_per_band: int,
     b = banded.select(
         F.col("_id").alias("id_b"), "band", "bucket"
     )
-    return (
+    out = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "band")
-        .distinct()
     )
+    return out if id_unique else out.distinct()
 
 
 def ngram_jaccard(

@@ -794,14 +794,20 @@ def q_porter2_vectors(spark, sf_dir):
 
 def q_token_counts_stemmed(spark, sf_dir):
     """tokenCounts with the Porter2 stemmer on (the reference's default
-    tokenizer config) — exercises the stem_tokens dictionary-join path."""
+    tokenizer config) — exercises the stem_tokens dictionary-join path.
+
+    Aggregates BEFORE stemming (guide §2.3): count per raw token first
+    (map-side combined), then stem the vocabulary-sized counts and sum
+    per stem — sum_{w: stem(w)=s} count(w) is exactly count-after-stem,
+    and the corpus-sized stream no longer pays the dictionary join."""
     from ..functions.stem import stem_tokens
 
     toks = _docs(spark, sf_dir).select(
         F.explode(tokenize_expr(F.col("text"))).alias("token")
     )
-    return stem_tokens(toks, "token").groupBy("token").agg(
-        F.count("*").alias("cnt")
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    return stem_tokens(counts, "token").groupBy("token").agg(
+        F.sum("cnt").alias("cnt")
     )
 
 

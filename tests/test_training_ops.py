@@ -242,10 +242,10 @@ def test_embedding_neardup_auto_routes_by_size(clustered_vectors):
     small_plan = embedding_neardup(
         clustered_vectors, threshold=0.95, exact_max_rows=10_000
     )._jdf.queryExecution().executedPlan().toString()
-    assert (
-        "CartesianProduct" in small_plan
-        or "BroadcastNestedLoopJoin" in small_plan
-    )
+    # r6: the exact path is a broadcast-matrix Arrow kernel, not a
+    # cartesian join — assert the kernel shape (and no join at all)
+    assert "MapInPandas" in small_plan
+    assert "Join" not in small_plan and "CartesianProduct" not in small_plan
     big_plan = embedding_neardup(
         clustered_vectors, threshold=0.95, exact_max_rows=10
     )._jdf.queryExecution().executedPlan().toString()
