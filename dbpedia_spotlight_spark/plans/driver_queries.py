@@ -592,6 +592,13 @@ def q_fuzzy_candidates(spark, sf_dir):
         (F.col("support") / F.col("_n")).alias("prior"),
         F.array().cast("array<string>").alias("types"),
     )
+    # each dimension is referenced twice (maybe_broadcast's gate count +
+    # the join itself) — cache the corpus-derived aggregations so the
+    # corpus is not re-aggregated per reference (same intra-query cache
+    # pattern as er_clusters' linked frame)
+    sf_stats = sf_stats.cache()
+    cand_map = cand_map.cache()
+    resources = resources.cache()
     empty = _docs(spark, sf_dir).limit(0).select(
         F.col("doc_id").alias("token_id")
     )

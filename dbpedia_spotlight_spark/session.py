@@ -26,6 +26,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE rewrite sort-merge to shuffled-hash when EVERY
+        # post-shuffle partition is measured under this size (guide
+        # §3.1): runtime-gated so it is scale-safe — per-task build
+        # memory is bounded by the threshold and oversized inputs fall
+        # back to sort-merge. Measured on the sf1.0 driver data: every
+        # join-heavy gate improved or held (prior_disambiguation 2.3s ->
+        # 1.1s, dedup_minhash band join, er paths); default 0 (off).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_SHJ_LOCALMAP_MAX", "64m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
