@@ -85,15 +85,33 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     IS the lexicographically smallest member; rounds are O(log n) even
     on chains (pointer doubling), each a handful of C-speed array ops."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     spark = edges.sparkSession
-    pdf = edges.toPandas()  # one Arrow transfer (edge count is gated by
-    # DRIVER_CC_MAX_EDGES; toLocalIterator paid per-batch RPC overhead)
-    codes, uniq = pd.factorize(
-        pd.concat([pdf["src"], pdf["dst"]], ignore_index=True), sort=True
+    # one Arrow transfer (edge count is gated by DRIVER_CC_MAX_EDGES;
+    # toLocalIterator paid per-batch RPC overhead). Keys stay in Arrow:
+    # hash dictionary-encode + a C sort of the UNIQUE keys replaces
+    # pandas factorize(sort=True), whose Python-object sort of the full
+    # key stream was the dominant driver cost (measured 1.15 s of a
+    # 2.8 s CC at 909k edges). Labels are remapped to sorted-rank space,
+    # so the min label still IS the lexicographically smallest member
+    # (Arrow sorts utf8 bytewise == Python str order for valid UTF-8).
+    tbl = edges.toArrow()
+    combined = pa.chunked_array(
+        tbl["src"].chunks + tbl["dst"].chunks, type=tbl["src"].type
+    ).combine_chunks()
+    enc = combined.dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64, copy=False)
+    uniq_arr = enc.dictionary
+    sort_idx = pc.sort_indices(uniq_arr).to_numpy().astype(
+        np.int64, copy=False
     )
-    m = len(pdf)
+    rank = np.empty(len(uniq_arr), dtype=np.int64)
+    rank[sort_idx] = np.arange(len(uniq_arr))
+    codes = rank[codes] if len(uniq_arr) else codes
+    uniq = pc.take(uniq_arr, pa.array(sort_idx))  # rank -> key
+    m = tbl.num_rows
     src, dst = codes[:m], codes[m:]
     p = np.arange(len(uniq))
     while len(src):
@@ -126,8 +144,10 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     import pyarrow.parquet as pq
 
     table = pa.Table.from_arrays(
-        [pa.array(uniq, type=pa.string()),
-         pa.array(uniq[p] if len(uniq) else uniq, type=pa.string())],
+        [
+            uniq.cast(pa.string()),
+            pc.take(uniq, pa.array(p)).cast(pa.string()),
+        ],
         schema=pa.schema(
             [("mention_key", pa.string()), ("cluster_id", pa.string())]
         ),

@@ -731,6 +731,19 @@ def simhash_dedup(
         pdf = pd.concat(list(batches), ignore_index=True)
         if not len(pdf):
             return
+
+        def ham_block(h16a, h16b, fields):
+            if not fields:  # degenerate n_blocks=1: bucket == hash
+                return np.zeros(
+                    (h16a.shape[0], h16b.shape[0]), dtype=np.uint8
+                )
+            # uint8 sums cannot overflow (<= 64); only survivors are
+            # promoted to the gate's int32 hamming
+            out = pop[h16a[:, None, fields[0]] ^ h16b[None, :, fields[0]]]
+            for f in fields[1:]:
+                out += pop[h16a[:, None, f] ^ h16b[None, :, f]]
+            return out
+
         band = pdf["band"].to_numpy()
         bucket = pdf["bucket"].to_numpy()
         all_ids = pdf["_id"].to_numpy()
@@ -744,9 +757,10 @@ def simhash_dedup(
             .reshape(-1, 4)
         )
         # segment the partition by (band, bucket); ids ascending within
-        # each segment so the id-value mask below emits each cross-id
-        # pair exactly once (ids can repeat — the join's id_a < id_b
-        # kept duplicate-id row pairs out but scored each row separately)
+        # each segment so the id-value orientation below emits each
+        # cross-id pair exactly once (ids can repeat — the join's
+        # id_a < id_b kept duplicate-id row pairs out but scored each
+        # row separately)
         order = np.lexsort((all_ids, bucket, band))
         band, bucket = band[order], bucket[order]
         all_ids, all_h16 = all_ids[order], all_h16[order]
@@ -770,25 +784,21 @@ def simhash_dedup(
                 fields = [0, 1, 2, 3]
             for lo in range(0, n, chunk):
                 hi = min(lo + chunk, n)
-                if fields:
-                    ham = pop[h16[lo:hi, None, fields[0]]
-                              ^ h16[None, :, fields[0]]]
-                    for f in fields[1:]:
-                        ham += pop[h16[lo:hi, None, f] ^ h16[None, :, f]]
-                else:  # degenerate n_blocks=1: bucket == hash, hamming 0
-                    ham = np.zeros((hi - lo, n), dtype=np.uint8)
-                # uint8 sums cannot overflow (<= 64); promote only the
-                # few survivors to the gate's int32 hamming
-                rows, cols = np.nonzero(
-                    (ham <= thr) & (ids[None, :] > ids[lo:hi, None])
-                )
-                if len(rows):
+                ham = ham_block(h16[lo:hi], h16, fields)
+                # candidate list first, id-orientation on the survivors
+                # only — cheaper than building a second full (chunk, n)
+                # comparison matrix
+                rows, cols = np.nonzero(ham <= thr)
+                ia, ib = ids[rows + lo], ids[cols]
+                keep = ib > ia
+                if keep.any():
                     frames.append(
                         pd.DataFrame(
                             {
-                                "id_a": ids[rows + lo],
-                                "id_b": ids[cols],
-                                "hamming": ham[rows, cols].astype(np.int32),
+                                "id_a": ia[keep],
+                                "id_b": ib[keep],
+                                "hamming": ham[rows, cols][keep]
+                                .astype(np.int32),
                             }
                         )
                     )
