@@ -76,7 +76,14 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
     """Collected union-find with min-member component ids — the small-side
-    fast path. Exact same contract as the distributed loop.
+    fast path. Exact same contract as the distributed loop."""
+    # one Arrow transfer (edge count is gated by DRIVER_CC_MAX_EDGES;
+    # toLocalIterator paid per-batch RPC overhead)
+    return _union_find_arrow(edges.toArrow(), edges.sparkSession)
+
+
+def _union_find_arrow(tbl, spark) -> DataFrame:
+    """Union-find over a collected Arrow table of (src, dst) edges.
 
     Vectorized: the per-edge Python loop (2 dict inserts + 2 amortized
     finds per edge — ~6 s at 10⁶ edges, all single-thread driver time)
@@ -88,16 +95,13 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    spark = edges.sparkSession
-    # one Arrow transfer (edge count is gated by DRIVER_CC_MAX_EDGES;
-    # toLocalIterator paid per-batch RPC overhead). Keys stay in Arrow:
+    # Keys stay in Arrow:
     # hash dictionary-encode + a C sort of the UNIQUE keys replaces
     # pandas factorize(sort=True), whose Python-object sort of the full
     # key stream was the dominant driver cost (measured 1.15 s of a
     # 2.8 s CC at 909k edges). Labels are remapped to sorted-rank space,
     # so the min label still IS the lexicographically smallest member
     # (Arrow sorts utf8 bytewise == Python str order for valid UTF-8).
-    tbl = edges.toArrow()
     combined = pa.chunked_array(
         tbl["src"].chunks + tbl["dst"].chunks, type=tbl["src"].type
     ).combine_chunks()
@@ -179,22 +183,28 @@ def connected_components(
         F.col("src") != F.col("dst")
     )
     if store is None:
-        # materialize the input once — the signature check plus the first
-        # iteration otherwise recompute the upstream edge derivation 3x.
-        # distinct waits until AFTER the strategy choice: union-find is
-        # duplicate-tolerant, so the driver path never pays that shuffle
-        # (the raw count can only OVERestimate, which errs toward the
-        # distributed loop — the safe direction)
-        cur = cur.localCheckpoint()
         if not force_distributed:
-            if cur.count() <= DRIVER_CC_MAX_EDGES:
+            # bounded probe: pull at most MAX+1 edges in one pass — when
+            # they all fit, the probe IS the edge set, so the driver path
+            # evaluates the upstream lineage exactly once (the old
+            # localCheckpoint + count + collect shape paid it three
+            # times: ~0.5 s back at 909k sf1.0 edges). Duplicate edges
+            # are fine — union-find is duplicate-tolerant, and the raw
+            # row count can only OVERestimate, which errs toward the
+            # distributed loop (the safe direction).
+            probe = cur.limit(DRIVER_CC_MAX_EDGES + 1).toArrow()
+            if probe.num_rows <= DRIVER_CC_MAX_EDGES:
                 # broadcast hint: the driver path's output is bounded by
                 # the edge gate (<= 2 * DRIVER_CC_MAX_EDGES short rows,
                 # already held in driver memory by construction), so
                 # callers joining assignments back onto the full mention
                 # set get a build-side broadcast instead of shuffling
                 # and sorting the big side (guide §3.1)
-                return F.broadcast(_driver_union_find(cur))
+                return F.broadcast(_union_find_arrow(probe, spark))
+        # materialize the input once — the signature check plus the first
+        # iteration otherwise recompute the upstream edge derivation 3x
+        cur = cur.localCheckpoint()
+        if not force_distributed:
             # duplicate-heavy inputs: the raw count overshoots; a cheap
             # sketch decides whether the DISTINCT edge set still fits on
             # the driver (HLL error ~5% — the 0.9 margin absorbs it).
