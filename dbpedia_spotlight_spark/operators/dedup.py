@@ -768,11 +768,56 @@ def simhash_dedup(
             np.r_[True, (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])]
         )
         seg = np.append(seg, len(band))
+        sizes = np.diff(seg)
+        starts = seg[:-1]
         frames = []
-        for s, e in zip(seg[:-1], seg[1:]):
-            n = e - s
-            if n < 2:
+        # Small segments (the common case on weakly-correlated corpora:
+        # most (band, bucket) groups hold 1-2 rows) are batched BY SIZE
+        # and scored in one vectorized pass per distinct size — the old
+        # per-segment Python loop paid ~15 numpy calls per group
+        # (measured ~1.4 s of the kernel stage at 260k groups/100k
+        # docs). Inside a bucket the band's own field XORs to zero, so
+        # summing the popcount over ALL four 16-bit fields equals the
+        # 3-field sum the big-segment path computes by skipping it.
+        SMALL = 64
+        tri_cache: dict[int, tuple] = {}
+        for k in np.unique(sizes):
+            k = int(k)
+            if k < 2 or k > SMALL:
                 continue
+            tri = tri_cache.get(k)
+            if tri is None:
+                iu = np.triu_indices(k, 1)
+                tri_cache[k] = tri = (iu[0], iu[1])
+            s_all = starts[sizes == k]
+            n_pairs_per = k * (k - 1) // 2
+            # bound transient pair arrays to ~2M rows per shot
+            step = max(1, (1 << 21) // n_pairs_per)
+            for off in range(0, len(s_all), step):
+                s_k = s_all[off: off + step]
+                # (n_seg, n_pairs) absolute row indices of every
+                # in-segment pair; rows are id-ascending within a
+                # segment (lexsort), so the ib > ia mask below keeps
+                # each cross-id pair once
+                a_idx = (s_k[:, None] + tri[0][None, :]).ravel()
+                b_idx = (s_k[:, None] + tri[1][None, :]).ravel()
+                x = all_h16[a_idx] ^ all_h16[b_idx]
+                ham = (pop[x[:, 0]] + pop[x[:, 1]]
+                       + pop[x[:, 2]] + pop[x[:, 3]])
+                ia, ib = all_ids[a_idx], all_ids[b_idx]
+                keep = (ham <= thr) & (ib > ia)
+                if keep.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ia[keep],
+                                "id_b": ib[keep],
+                                "hamming": ham[keep].astype(np.int32),
+                            }
+                        )
+                    )
+        for s, e in zip(starts[sizes > SMALL], seg[1:][sizes > SMALL]):
+            n = e - s
             ids, h16 = all_ids[s:e], all_h16[s:e]
             if width % 16 == 0:
                 f0 = int(band[s]) * width // 16

@@ -175,6 +175,57 @@ def test_simhash_kernel_matches_join_twin_with_id_aliasing(spark, dup_docs):
     assert _rows(got) == _rows(twin)
 
 
+def test_simhash_kernel_size_class_split(spark):
+    """The size-class vectorized path (segments <= 64 rows) and the
+    chunked big-segment path must agree with the join twin on a corpus
+    that exercises BOTH in one partition: ~100 identical docs (one
+    giant bucket per band, > the 64-row small-segment bound) plus many
+    near-unique docs (1-2 row buckets) plus mid-size clusters."""
+    rng = random.Random(99)
+    vocab = ["qark", "wash", "zoin", "xcan", "vindow", "merge"]
+    rows = [(i, "clone clone clone clone") for i in range(100)]
+    rows += [
+        (100 + i,
+         " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 14))))
+        for i in range(150)
+    ]
+    rows += [(250 + i, "midsize cluster text " + vocab[i % 3])
+             for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    n_blocks, width, thr = 4, 16, 3
+    h = docs.select(
+        F.col("doc_id").alias("_id"), simhash64_udf(F.col("text")).alias("h")
+    )
+    banded = h.select(
+        "_id", "h",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("h"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("bucket"),
+            ) for b in range(n_blocks)
+        ])).alias("bb"),
+    ).select("_id", "h", "bb.band", "bb.bucket")
+    a = banded.select(F.col("_id").alias("id_a"),
+                      F.col("h").alias("h_a"), "band", "bucket")
+    b = banded.select(F.col("_id").alias("id_b"),
+                      F.col("h").alias("h_b"), "band", "bucket")
+    twin = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+                .alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= thr)
+    )
+    got = simhash_dedup(docs, hamming_threshold=thr, n_blocks=n_blocks)
+    assert _rows(got) == _rows(twin)
+    # the giant clone bucket must actually produce its full pair set
+    clones = got.filter((F.col("id_a") < 100) & (F.col("id_b") < 100))
+    assert clones.count() == 100 * 99 / 2
+
+
 def test_minhash_md5_kernel_matches_exploded_twin(spark, dup_docs):
     """Single-kernel md5 signatures (+ per-id merge) == the exploded
     groupBy(min(md5)) plan, on the id-aliasing corpus (the groupBy
