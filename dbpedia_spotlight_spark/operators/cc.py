@@ -88,36 +88,33 @@ def _union_find_arrow(tbl, spark) -> DataFrame:
     Vectorized: the per-edge Python loop (2 dict inserts + 2 amortized
     finds per edge — ~6 s at 10⁶ edges, all single-thread driver time)
     is replaced by numpy min-label hooking with full pointer-doubling
-    compression per round. Keys factorize SORTED, so the min label index
-    IS the lexicographically smallest member; rounds are O(log n) even
-    on chains (pointer doubling), each a handful of C-speed array ops."""
+    compression per round over hash-order codes; the lexicographically
+    smallest member per component is recovered afterwards with one
+    Arrow group-by string min. Rounds are O(log n) even on chains
+    (pointer doubling), each a handful of C-speed array ops."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    # Keys stay in Arrow:
-    # hash dictionary-encode + a C sort of the UNIQUE keys replaces
-    # pandas factorize(sort=True), whose Python-object sort of the full
-    # key stream was the dominant driver cost (measured 1.15 s of a
-    # 2.8 s CC at 909k edges). Labels are remapped to sorted-rank space,
-    # so the min label still IS the lexicographically smallest member
-    # (Arrow sorts utf8 bytewise == Python str order for valid UTF-8).
+    # Keys stay in Arrow: hash dictionary-encode replaces pandas
+    # factorize(sort=True), whose Python-object sort of the full key
+    # stream was the dominant driver cost (measured 1.15 s of a 2.8 s
+    # CC at 909k edges). Codes are in arbitrary (first-seen) order —
+    # min-label hooking still converges to ONE consistent root code per
+    # component, and the lexicographically smallest MEMBER is recovered
+    # afterwards with one C++ group-by min over the unique keys, which
+    # measures 2.7x cheaper than sorting the dictionary up front and
+    # remapping every code to rank space (0.56 s -> 0.21 s at 888k
+    # edges / 869k keys).
     combined = pa.chunked_array(
         tbl["src"].chunks + tbl["dst"].chunks, type=tbl["src"].type
     ).combine_chunks()
     enc = combined.dictionary_encode()
     codes = enc.indices.to_numpy().astype(np.int64, copy=False)
     uniq_arr = enc.dictionary
-    sort_idx = pc.sort_indices(uniq_arr).to_numpy().astype(
-        np.int64, copy=False
-    )
-    rank = np.empty(len(uniq_arr), dtype=np.int64)
-    rank[sort_idx] = np.arange(len(uniq_arr))
-    codes = rank[codes] if len(uniq_arr) else codes
-    uniq = pc.take(uniq_arr, pa.array(sort_idx))  # rank -> key
     m = tbl.num_rows
     src, dst = codes[:m], codes[m:]
-    p = np.arange(len(uniq))
+    p = np.arange(len(uniq_arr))
     while len(src):
         ps, pdst = p[src], p[dst]
         # hook the larger current label's root toward the smaller label;
@@ -134,6 +131,13 @@ def _union_find_arrow(tbl, spark) -> DataFrame:
         if not live.any():
             break
         src, dst = src[live], dst[live]
+    # cluster_id = lexicographic min member per component: group the
+    # UNIQUE keys by final root and take the bytewise string min (Arrow
+    # utf8 order == Python str order for valid UTF-8), then map each
+    # key's root to its component min
+    gt = pa.table({"root": pa.array(p), "key": uniq_arr})
+    gb = gt.group_by("root").aggregate([("key", "min")])
+    cluster = pc.take(gb["key_min"], pc.index_in(pa.array(p), gb["root"]))
     # hand the result back as a temp-parquet scan, not a local relation:
     # createDataFrame ships every batch through the driver's task
     # serialization each time the plan is evaluated (measured 2.8s for
@@ -149,8 +153,8 @@ def _union_find_arrow(tbl, spark) -> DataFrame:
 
     table = pa.Table.from_arrays(
         [
-            uniq.cast(pa.string()),
-            pc.take(uniq, pa.array(p)).cast(pa.string()),
+            uniq_arr.cast(pa.string()),
+            cluster.cast(pa.string()).combine_chunks(),
         ],
         schema=pa.schema(
             [("mention_key", pa.string()), ("cluster_id", pa.string())]
