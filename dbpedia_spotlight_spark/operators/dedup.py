@@ -427,7 +427,17 @@ def _band_join(sig: DataFrame, bands: int, rows_per_band: int,
     groupBy-merged md5/xxhash64 families). Each id then has ONE bucket
     per band, a pair meets at most once per band, and the trailing
     distinct is a provable no-op — skipped to save its shuffle.
+
+    The signature frame is cached (guide §5: reused AND expensive):
+    both sides of the self-join reference it, and AQE does NOT reuse
+    the upstream stage across the join's probe and broadcast-build
+    sides — an accumulator probe measured the signature kernel running
+    2x per query (200k kernel rows for a 100k-doc corpus). One row of
+    ~num_hashes hashes per document, so the cache is a small fraction
+    of corpus size at any scale; CacheManager dedupes repeated
+    identical plans, so re-invocations share one entry.
     """
+    sig = sig.cache()
     banded = sig.select(
         "_id",
         F.explode(
