@@ -16,6 +16,8 @@ makes a killed run resumable from the last completed superstep.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,6 +30,22 @@ MAX_ITERATIONS = 50
 # order of magnitude (the same size-based strategy choice AQE makes for
 # broadcast joins). Above it, the large/small-star loop runs.
 DRIVER_CC_MAX_EDGES = 2_000_000
+
+# How many partitions the bounded limit-probe's FIRST collect wave scans
+# (spark.sql.limit.initialNumPartitions, default 1). With the default,
+# CollectLimit ramps 1 -> 4 -> 16 -> 64 partitions as four sequential
+# jobs whenever the edge set is under the gate (the common case — the
+# probe must see every partition to know the set fits), and each wave is
+# a fresh job launch over the same shuffle output. Scanning 32 at once
+# collapses that to 1-2 jobs (measured cold er_clusters at a 50k-doc
+# sf1.0-shaped corpus: 7.5-10.7 s -> 5.1-5.3 s). Memory stays bounded:
+# in the pass case the driver receives <= DRIVER_CC_MAX_EDGES rows
+# regardless of wave width, and in the fail case each task's output is
+# capped by the LocalLimit at MAX+1 rows, so the transient worst case is
+# probe_parts x min(partition_rows, MAX+1) short key-pair rows. Callers
+# at scales where that transient matters set SPARK_CC_PROBE_PARTS=1 to
+# restore the conservative ramp.
+CC_PROBE_PARTS = int(os.environ.get("SPARK_CC_PROBE_PARTS", "32"))
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -72,6 +90,25 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
         ).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
+
+
+def _bounded_probe(cur: DataFrame):
+    """limit(MAX+1).toArrow() with the first collect wave widened to
+    CC_PROBE_PARTS partitions (see the constant's comment for the
+    measured win and the memory bound). The conf is scoped to this one
+    collect and restored afterwards — runtime SQL confs are read at
+    execution, and the CC paths run their probes sequentially."""
+    spark = cur.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(CC_PROBE_PARTS))
+    try:
+        return cur.limit(DRIVER_CC_MAX_EDGES + 1).toArrow()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
@@ -196,7 +233,7 @@ def connected_components(
             # are fine — union-find is duplicate-tolerant, and the raw
             # row count can only OVERestimate, which errs toward the
             # distributed loop (the safe direction).
-            probe = cur.limit(DRIVER_CC_MAX_EDGES + 1).toArrow()
+            probe = _bounded_probe(cur)
             if probe.num_rows <= DRIVER_CC_MAX_EDGES:
                 # broadcast hint: the driver path's output is bounded by
                 # the edge gate (<= 2 * DRIVER_CC_MAX_EDGES short rows,
