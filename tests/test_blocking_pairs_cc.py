@@ -171,3 +171,39 @@ def test_cluster_assignments_singletons(spark):
     }
     assert got["a"] == got["b"] == "a"
     assert got["c"] == "c"  # NIL stays a singleton
+
+
+def test_bounded_probe_scopes_and_restores_limit_conf(spark):
+    """The CC gate probe widens spark.sql.limit.initialNumPartitions for
+    its one collect only; leaking the conf would change every later
+    limit's collect ramp in the session."""
+    from dbpedia_spotlight_spark.operators import cc as cc_mod
+
+    key = "spark.sql.limit.initialNumPartitions"
+    edf = spark.createDataFrame(
+        [(f"a{i}", f"b{i}") for i in range(10)], "src string, dst string"
+    )
+
+    # previously-unset conf is unset again afterwards (back to default 1)
+    spark.conf.unset(key)
+    probe = cc_mod._bounded_probe(edf)
+    assert probe.num_rows == 10
+    assert spark.conf.get(key) == "1"  # engine default restored
+
+    # a caller's explicit value survives the probe
+    spark.conf.set(key, "7")
+    try:
+        probe = cc_mod._bounded_probe(edf)
+        assert probe.num_rows == 10
+        assert spark.conf.get(key) == "7"
+    finally:
+        spark.conf.unset(key)
+
+    # restoration also happens when the collect itself fails
+    bad = edf.select(
+        (F.col("src").cast("int") / 0).alias("src"), F.col("dst")
+    ).filter(F.raise_error(F.lit("boom")).isNull())
+    spark.conf.unset(key)
+    with pytest.raises(Exception):
+        cc_mod._bounded_probe(bad)
+    assert spark.conf.get(key) == "1"
